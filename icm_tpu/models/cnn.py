@@ -1,0 +1,228 @@
+"""WACNN — window-attention CNN codec with ChARM context (registry: "cnn").
+
+Behavioral parity with the reference ``WACNN`` (reference:
+``compressai/models/cnn.py:23-332``): conv+GDN+window-attention analysis /
+synthesis transforms, conv hyper-encoder, mean/scale hyper-decoders, and a
+10-slice channel-autoregressive (ChARM) context with first-5 slice support,
+STE rounding, and latent-residual prediction (LRP, 0.5*tanh).
+
+TPU-native notes (all NHWC):
+- the per-slice context convs keep their reference channel widths
+  (320 + 32*min(i,5) inputs) and are unrolled statically under jit — 10
+  iterations of dense 3x3 convs, each a clean MXU workload.
+- ``__call__`` is the training/entropy-estimation path; the real-coder
+  compress/decompress live in ``icm_tpu/models/codec.py`` and reuse the
+  same submodules via ``nn.apply`` methods below.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..entropy import EntropyBottleneck, GaussianConditional
+from ..nn import (
+    GDN,
+    SubpelConv,
+    Win_noShift_Attention,
+    conv,
+    conv3x3,
+    deconv,
+)
+from ..ops import ste_round
+from .base import CompressionModel
+
+
+class _AnalysisCNN(nn.Module):
+    N: int
+    M: int
+
+    @nn.compact
+    def __call__(self, x):
+        N, M = self.N, self.M
+        x = conv(N, 5, 2)(x)
+        x = GDN(N)(x)
+        x = conv(N, 5, 2)(x)
+        x = GDN(N)(x)
+        x = Win_noShift_Attention(N, num_heads=8, window_size=8, shift_size=4)(x)
+        x = conv(N, 5, 2)(x)
+        x = GDN(N)(x)
+        x = conv(M, 5, 2)(x)
+        x = Win_noShift_Attention(M, num_heads=8, window_size=4, shift_size=2)(x)
+        return x
+
+
+class _SynthesisCNN(nn.Module):
+    N: int
+    M: int
+    out_ch: int = 3
+
+    @nn.compact
+    def __call__(self, y):
+        N, M = self.N, self.M
+        y = Win_noShift_Attention(M, num_heads=8, window_size=4, shift_size=2)(y)
+        y = deconv(N, 5, 2)(y)
+        y = GDN(N, inverse=True)(y)
+        y = deconv(N, 5, 2)(y)
+        y = GDN(N, inverse=True)(y)
+        y = Win_noShift_Attention(N, num_heads=8, window_size=8, shift_size=4)(y)
+        y = deconv(N, 5, 2)(y)
+        y = GDN(N, inverse=True)(y)
+        y = deconv(self.out_ch, 5, 2)(y)
+        return y
+
+
+class _HyperEncoder(nn.Module):
+    @nn.compact
+    def __call__(self, y):
+        y = conv3x3(320)(y)
+        y = jax.nn.gelu(y)
+        y = conv3x3(288)(y)
+        y = jax.nn.gelu(y)
+        y = conv3x3(256, stride=2)(y)
+        y = jax.nn.gelu(y)
+        y = conv3x3(224)(y)
+        y = jax.nn.gelu(y)
+        y = conv3x3(192, stride=2)(y)
+        return y
+
+
+class _HyperDecoder(nn.Module):
+    """h_mean_s / h_scale_s: conv + sub-pixel 2x upsample stack."""
+
+    @nn.compact
+    def __call__(self, z):
+        z = conv3x3(192)(z)
+        z = jax.nn.gelu(z)
+        z = SubpelConv(224, r=2)(z)
+        z = jax.nn.gelu(z)
+        z = conv3x3(256)(z)
+        z = jax.nn.gelu(z)
+        z = SubpelConv(288, r=2)(z)
+        z = jax.nn.gelu(z)
+        z = conv3x3(320)(z)
+        return z
+
+
+class _CCTransform(nn.Module):
+    """Per-slice context conv stack: 5x (3x3 conv + GELU), 224->176->128->
+    64->out (reference cnn.py:89-127)."""
+
+    out_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        for ch in (224, 176, 128, 64):
+            x = conv(ch, kernel_size=3, stride=1)(x)
+            x = jax.nn.gelu(x)
+        return conv(self.out_ch, kernel_size=3, stride=1)(x)
+
+
+class WACNN(CompressionModel):
+    N: int = 192
+    M: int = 320
+    num_slices: int = 10
+    max_support_slices: int = 5
+
+    def setup(self):
+        self.g_a = _AnalysisCNN(self.N, self.M)
+        self.g_s = _SynthesisCNN(self.N, self.M)
+        self.h_a = _HyperEncoder()
+        self.h_mean_s = _HyperDecoder()
+        self.h_scale_s = _HyperDecoder()
+        slice_ch = self.M // self.num_slices
+        self.cc_mean_transforms = [
+            _CCTransform(slice_ch, name=f"cc_mean_{i}") for i in range(self.num_slices)
+        ]
+        self.cc_scale_transforms = [
+            _CCTransform(slice_ch, name=f"cc_scale_{i}") for i in range(self.num_slices)
+        ]
+        self.lrp_transforms = [
+            _CCTransform(slice_ch, name=f"lrp_{i}") for i in range(self.num_slices)
+        ]
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+        self.gaussian_conditional = GaussianConditional()
+
+    # --- slice context (shared by forward / compress / decompress) --------
+    def _slice_params(self, slice_index, latent_means, latent_scales, support):
+        """mu, scale for one slice given decoded-so-far supports."""
+        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
+        mu = self.cc_mean_transforms[slice_index](mean_support)
+        scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
+        scale = self.cc_scale_transforms[slice_index](scale_support)
+        return mu, scale, mean_support
+
+    def _lrp(self, slice_index, mean_support, y_hat_slice):
+        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        lrp = self.lrp_transforms[slice_index](lrp_support)
+        return 0.5 * jnp.tanh(lrp)
+
+    def __call__(self, x, training: bool = True):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+
+        # STE-rounded z for the hyper-synthesis (reference cnn.py:150-152)
+        z_offset = self.entropy_bottleneck.medians()[:, 0, 0]  # (C,)
+        z_hat = ste_round(z - z_offset) + z_offset
+
+        latent_scales = self.h_scale_s(z_hat)
+        latent_means = self.h_mean_s(z_hat)
+
+        y_slices = jnp.split(y, self.num_slices, axis=-1)
+        y_hat_slices = []
+        y_likelihood = []
+        for i, y_slice in enumerate(y_slices):
+            support = (
+                y_hat_slices
+                if self.max_support_slices < 0
+                else y_hat_slices[: self.max_support_slices]
+            )
+            mu, scale, mean_support = self._slice_params(
+                i, latent_means, latent_scales, support
+            )
+            _, lik = self.gaussian_conditional(
+                y_slice, scale, mu, training=training
+            )
+            y_likelihood.append(lik)
+            y_hat_slice = ste_round(y_slice - mu) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        y_likelihoods = jnp.concatenate(y_likelihood, axis=-1)
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+    # --- coder-path building blocks (called via model.apply(method=...)) ---
+    def analyze(self, x):
+        """x -> (y, z)."""
+        y = self.g_a(x)
+        return y, self.h_a(y)
+
+    def hyper_synth(self, z_hat):
+        return self.h_mean_s(z_hat), self.h_scale_s(z_hat)
+
+    def slice_context(self, slice_index, latent_means, latent_scales, support):
+        mu, scale, mean_support = self._slice_params(
+            slice_index, latent_means, latent_scales, support
+        )
+        return mu, scale, mean_support
+
+    def slice_lrp(self, slice_index, mean_support, y_hat_slice):
+        return self._lrp(slice_index, mean_support, y_hat_slice)
+
+    def synthesize(self, y_hat):
+        return self.g_s(y_hat)
+
+    def eb_medians(self):
+        return self.entropy_bottleneck.medians()[:, 0, 0]

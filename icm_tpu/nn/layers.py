@@ -1,0 +1,266 @@
+"""Conv helpers and window-attention blocks, channel-last (NHWC).
+
+Behavioral parity:
+- ``conv``/``deconv`` — reference ``compressai/models/utils.py:114-132``
+  (5x5 stride-2 with pad k//2; transpose conv with output_padding=1).
+- ``conv3x3``/``conv1x1``/``subpel_conv3x3`` — reference
+  ``compressai/layers/layers.py:29-43``.
+- ``WindowAttention`` / ``WinBasedAttention`` / ``Win_noShift_Attention`` —
+  reference ``compressai/layers/win_attention.py:37-207`` and
+  ``layers/layers.py:45-89``.
+
+TPU-native notes:
+- everything is NHWC; window partition is a reshape/transpose (free for
+  XLA); attention over W*W tokens (16 or 64) is a small batched matmul
+  that XLA tiles straight onto the MXU.
+- shifted-window masks are computed with numpy at trace time (H, W are
+  static under jit) and baked into the graph as constants.
+- upsampling prefers sub-pixel conv (conv + depth_to_space): a dense
+  conv is MXU-friendly whereas transpose convs lower to scatter-like ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.Conv:
+    pad = kernel_size // 2
+    return nn.Conv(
+        features,
+        (kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+    )
+
+
+def conv3x3(features: int, stride: int = 1) -> nn.Conv:
+    return conv(features, kernel_size=3, stride=stride)
+
+
+def conv1x1(features: int, stride: int = 1) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(stride, stride))
+
+
+def deconv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.ConvTranspose:
+    """2x learned upsampling; 'SAME' padding gives out = in * stride, the
+    same output geometry as the reference's k5 s2 p2 output_padding=1."""
+    return nn.ConvTranspose(
+        features,
+        (kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding="SAME",
+    )
+
+
+class SubpelConv(nn.Module):
+    """3x3 conv + depth-to-space upsample (reference subpel_conv3x3,
+    ``layers/layers.py:33-38``). Preferred upsampler on TPU."""
+
+    features: int
+    r: int = 1
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel_size // 2
+        x = nn.Conv(
+            self.features * self.r ** 2,
+            (self.kernel_size, self.kernel_size),
+            padding=((pad, pad), (pad, pad)),
+        )(x)
+        if self.r == 1:
+            return x
+        B, H, W, C = x.shape
+        r = self.r
+        # depth_to_space (CRD order, matches PixelShuffle semantics)
+        x = x.reshape(B, H, W, C // (r * r), r, r)
+        x = x.transpose(0, 1, 4, 2, 5, 3)
+        return x.reshape(B, H * r, W * r, C // (r * r))
+
+
+def subpel_conv3x3(features: int, r: int = 1) -> SubpelConv:
+    return SubpelConv(features=features, r=r)
+
+
+def window_partition(x, window_size: int):
+    """(B, H, W, C) -> (B * nH * nW, ws, ws, C)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window_size, window_size, W // window_size, window_size, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, C)
+
+
+def window_reverse(windows, window_size: int, H: int, W: int):
+    """(B * nH * nW, ws, ws, C) -> (B, H, W, C)."""
+    nH, nW = H // window_size, W // window_size
+    B = windows.shape[0] // (nH * nW)
+    x = windows.reshape(B, nH, nW, window_size, window_size, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+@functools.lru_cache(maxsize=64)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Static (wh*ww, wh*ww) index into the (2wh-1)(2ww-1) bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # 2, N, N
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+@functools.lru_cache(maxsize=64)
+def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int) -> np.ndarray:
+    """Static SW-MSA mask (nW, N, N) with 0 / -100 entries (reference
+    ``win_attention.py:159-177``). Computed in numpy at trace time."""
+    img_mask = np.zeros((H, W), np.int32)
+    slices = (
+        slice(0, -window_size),
+        slice(-window_size, -shift_size),
+        slice(-shift_size, None),
+    )
+    cnt = 0
+    for h in slices:
+        for w in slices:
+            img_mask[h, w] = cnt
+            cnt += 1
+    nH, nW = H // window_size, W // window_size
+    mw = img_mask.reshape(nH, window_size, nW, window_size)
+    mw = mw.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA over flattened windows with relative position bias.
+
+    Input: (num_windows*B, N, C); mask: (nW, N, N) or None.
+    """
+
+    dim: int
+    window_size: tuple  # (wh, ww)
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B_, N, C = x.shape
+        nh = self.num_heads
+        head_dim = C // nh
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+
+        wh, ww = self.window_size
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wh - 1) * (2 * ww - 1), nh),
+        )
+        idx = relative_position_index(wh, ww).reshape(-1)
+        bias = table[idx].reshape(N, N, nh).transpose(2, 0, 1)
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, nh, N, N) + jnp.asarray(
+                mask, attn.dtype
+            )[None, :, None]
+            attn = attn.reshape(B_, nh, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+class WinBasedAttention(nn.Module):
+    """Residual (shifted-)window attention block on an NHWC feature map
+    (reference ``WinBasedAttention``, ``win_attention.py:118-207``; no MLP)."""
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        ws, ss = self.window_size, self.shift_size
+        assert 0 <= ss < ws
+        assert H % ws == 0 and W % ws == 0, (H, W, ws)
+        shortcut = x
+
+        mask = shifted_window_mask(H, W, ws, ss) if ss > 0 else None
+        if ss > 0:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+
+        xw = window_partition(x, ws).reshape(-1, ws * ws, C)
+        attn = WindowAttention(
+            dim=C, window_size=(ws, ws), num_heads=self.num_heads, name="attn"
+        )(xw, mask=mask)
+        x = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
+
+        if ss > 0:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        return shortcut + x
+
+
+class ResidualUnit(nn.Module):
+    """1x1 -> GELU -> 3x3 -> GELU -> 1x1 bottleneck with residual + GELU
+    (reference ``layers/layers.py:52-71``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        N = self.dim
+        out = conv1x1(N // 2)(x)
+        out = jax.nn.gelu(out)
+        out = conv3x3(N // 2)(out)
+        out = jax.nn.gelu(out)
+        out = conv1x1(N)(out)
+        return jax.nn.gelu(out + x)
+
+
+class Win_noShift_Attention(nn.Module):
+    """Gated window-attention residual block (reference
+    ``layers/layers.py:45-89``): trunk of 3 residual units times the
+    sigmoid of an attention branch, plus identity."""
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        N = self.dim
+        a = x
+        for i in range(3):
+            a = ResidualUnit(N, name=f"trunk{i}")(a)
+        b = WinBasedAttention(
+            dim=N,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            shift_size=self.shift_size,
+            name="win_attn",
+        )(x)
+        for i in range(3):
+            b = ResidualUnit(N, name=f"branch{i}")(b)
+        b = conv1x1(N, stride=1)(b)
+        return x + a * jax.nn.sigmoid(b)
