@@ -82,8 +82,10 @@ def pmf_to_quantized_cdf_np(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
 
     n = pmf.shape[0]
     cdf = np.zeros(n + 1, dtype=np.uint32)
-    # round each probability to integer frequency
-    freqs = np.round(pmf.astype(np.float64) * (1 << precision)).astype(np.uint32)
+    # round-half-away (C++ lround semantics; np.round would round half-even)
+    freqs = np.floor(pmf.astype(np.float64) * (1 << precision) + 0.5).astype(
+        np.uint32
+    )
     cdf[1:] = freqs
     total = int(cdf.sum())
     if total == 0:
@@ -125,6 +127,12 @@ def pmf_to_cdf_rows(
     final (bypass) symbol; mirrors the reference ``EntropyModel._pmf_to_cdf``
     (reference: ``entropy_models.py:172-180``).
     """
+    from ..coding import pmf_to_quantized_cdf_rows as _native_rows
+
+    native = _native_rows(pmf, tail_mass, pmf_length, precision)
+    if native is not None:
+        return native
+
     n = pmf.shape[0]
     cdf = np.zeros((n, max_length + 2), dtype=np.int32)
     for i in range(n):

@@ -76,46 +76,52 @@ class _SynthesisCNN(nn.Module):
 
 
 class _HyperEncoder(nn.Module):
+    """Reference widths: (320, 288, 256, 224, 192) with strides 1,1,2,1,2
+    (reference cnn.py:54-64)."""
+
+    widths: tuple = (320, 288, 256, 224, 192)
+
     @nn.compact
     def __call__(self, y):
-        y = conv3x3(320)(y)
-        y = jax.nn.gelu(y)
-        y = conv3x3(288)(y)
-        y = jax.nn.gelu(y)
-        y = conv3x3(256, stride=2)(y)
-        y = jax.nn.gelu(y)
-        y = conv3x3(224)(y)
-        y = jax.nn.gelu(y)
-        y = conv3x3(192, stride=2)(y)
+        strides = (1, 1, 2, 1, 2)
+        for i, (w, s) in enumerate(zip(self.widths, strides)):
+            if i > 0:
+                y = jax.nn.gelu(y)
+            y = conv3x3(w, stride=s)(y)
         return y
 
 
 class _HyperDecoder(nn.Module):
-    """h_mean_s / h_scale_s: conv + sub-pixel 2x upsample stack."""
+    """h_mean_s / h_scale_s: conv + sub-pixel 2x upsample stack
+    (reference cnn.py:66-88); reference widths (192, 224, 256, 288, 320)."""
+
+    widths: tuple = (192, 224, 256, 288, 320)
 
     @nn.compact
     def __call__(self, z):
-        z = conv3x3(192)(z)
+        w = self.widths
+        z = conv3x3(w[0])(z)
         z = jax.nn.gelu(z)
-        z = SubpelConv(224, r=2)(z)
+        z = SubpelConv(w[1], r=2)(z)
         z = jax.nn.gelu(z)
-        z = conv3x3(256)(z)
+        z = conv3x3(w[2])(z)
         z = jax.nn.gelu(z)
-        z = SubpelConv(288, r=2)(z)
+        z = SubpelConv(w[3], r=2)(z)
         z = jax.nn.gelu(z)
-        z = conv3x3(320)(z)
+        z = conv3x3(w[4])(z)
         return z
 
 
 class _CCTransform(nn.Module):
-    """Per-slice context conv stack: 5x (3x3 conv + GELU), 224->176->128->
-    64->out (reference cnn.py:89-127)."""
+    """Per-slice context conv stack: 5x (3x3 conv + GELU), reference widths
+    224->176->128->64->out (reference cnn.py:89-127)."""
 
     out_ch: int = 32
+    widths: tuple = (224, 176, 128, 64)
 
     @nn.compact
     def __call__(self, x):
-        for ch in (224, 176, 128, 64):
+        for ch in self.widths:
             x = conv(ch, kernel_size=3, stride=1)(x)
             x = jax.nn.gelu(x)
         return conv(self.out_ch, kernel_size=3, stride=1)(x)
@@ -126,24 +132,30 @@ class WACNN(CompressionModel):
     M: int = 320
     num_slices: int = 10
     max_support_slices: int = 5
+    hyper_enc_widths: tuple = (320, 288, 256, 224, 192)
+    hyper_dec_widths: tuple = (192, 224, 256, 288, 320)
+    cc_widths: tuple = (224, 176, 128, 64)
 
     def setup(self):
         self.g_a = _AnalysisCNN(self.N, self.M)
         self.g_s = _SynthesisCNN(self.N, self.M)
-        self.h_a = _HyperEncoder()
-        self.h_mean_s = _HyperDecoder()
-        self.h_scale_s = _HyperDecoder()
+        self.h_a = _HyperEncoder(self.hyper_enc_widths)
+        self.h_mean_s = _HyperDecoder(self.hyper_dec_widths)
+        self.h_scale_s = _HyperDecoder(self.hyper_dec_widths)
         slice_ch = self.M // self.num_slices
         self.cc_mean_transforms = [
-            _CCTransform(slice_ch, name=f"cc_mean_{i}") for i in range(self.num_slices)
+            _CCTransform(slice_ch, self.cc_widths, name=f"cc_mean_{i}")
+            for i in range(self.num_slices)
         ]
         self.cc_scale_transforms = [
-            _CCTransform(slice_ch, name=f"cc_scale_{i}") for i in range(self.num_slices)
+            _CCTransform(slice_ch, self.cc_widths, name=f"cc_scale_{i}")
+            for i in range(self.num_slices)
         ]
         self.lrp_transforms = [
-            _CCTransform(slice_ch, name=f"lrp_{i}") for i in range(self.num_slices)
+            _CCTransform(slice_ch, self.cc_widths, name=f"lrp_{i}")
+            for i in range(self.num_slices)
         ]
-        self.entropy_bottleneck = EntropyBottleneck(self.N)
+        self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
         self.gaussian_conditional = GaussianConditional()
 
     # --- slice context (shared by forward / compress / decompress) --------
