@@ -4,7 +4,11 @@ from .base import (
     quantize,
     dequantize,
 )
-from .bottleneck import EntropyBottleneck, eb_build_tables
+from .bottleneck import (
+    EntropyBottleneck,
+    eb_build_tables,
+    eb_tables_from_pmf_data,
+)
 from .gaussian import (
     GaussianConditional,
     gc_build_tables,
@@ -22,6 +26,7 @@ __all__ = [
     "dequantize",
     "EntropyBottleneck",
     "eb_build_tables",
+    "eb_tables_from_pmf_data",
     "GaussianConditional",
     "gc_build_tables",
     "get_scale_table",

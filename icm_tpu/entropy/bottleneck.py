@@ -183,13 +183,8 @@ class EntropyBottleneck(nn.Module):
         return pmf, tail_mass, pmf_length, offset
 
 
-def eb_build_tables(
-    module: EntropyBottleneck, variables, precision: int = 16
-) -> EntropyTables:
-    """Host-side: build quantized CDF tables for the rANS coder."""
-    pmf, tail_mass, pmf_length, offset = module.apply(
-        variables, method=EntropyBottleneck.pmf_data
-    )
+def eb_tables_from_pmf_data(pmf, tail_mass, pmf_length, offset, precision=16):
+    """Quantize device-computed pmf rows into host CDF tables."""
     pmf = np.asarray(jax.device_get(pmf), np.float32)
     tail_mass = np.asarray(jax.device_get(tail_mass), np.float32)
     pmf_length = np.asarray(jax.device_get(pmf_length), np.int32)
@@ -201,3 +196,13 @@ def eb_build_tables(
         cdf_length=pmf_length + 2,
         offset=offset,
     )
+
+
+def eb_build_tables(
+    module: EntropyBottleneck, variables, precision: int = 16
+) -> EntropyTables:
+    """Host-side: build quantized CDF tables for the rANS coder."""
+    pmf, tail_mass, pmf_length, offset = module.apply(
+        variables, method=EntropyBottleneck.pmf_data
+    )
+    return eb_tables_from_pmf_data(pmf, tail_mass, pmf_length, offset, precision)

@@ -7,9 +7,12 @@ maps name -> (flax module class, default kwargs).
 
 from .base import CompressionModel, CodecTables
 from .cnn import WACNN
+from .codec import CharmCodec, build_codec_tables
+from .stf import SymmetricalTransFormer
 
 models = {
     "cnn": (WACNN, {}),
+    "stf": (SymmetricalTransFormer, {}),
 }
 
 
@@ -18,4 +21,12 @@ def create_model(name: str, **overrides):
     return cls(**{**kwargs, **overrides})
 
 
-__all__ = ["CompressionModel", "CodecTables", "WACNN", "models", "create_model"]
+__all__ = [
+    "CompressionModel",
+    "CodecTables",
+    "WACNN",
+    "CharmCodec",
+    "build_codec_tables",
+    "models",
+    "create_model",
+]

@@ -238,3 +238,7 @@ class WACNN(CompressionModel):
 
     def eb_medians(self):
         return self.entropy_bottleneck.medians()[:, 0, 0]
+
+    def eb_pmf_data(self):
+        """All entropy bottlenecks' pmf data for CDF table building."""
+        return {"entropy_bottleneck": self.entropy_bottleneck.pmf_data()}

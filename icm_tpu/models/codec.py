@@ -1,0 +1,263 @@
+"""Real-bitstream compress/decompress for ChARM-style codecs.
+
+Behavioral parity with the reference coder paths (reference:
+``cnn.py:210-332``; ``EntropyBottleneck.compress/decompress``
+``entropy_models.py:508-522``; ``EntropyModel.compress/decompress``
+``entropy_models.py:203-290``):
+  - z coded by the factorized bottleneck with per-channel CDFs and medians
+    as quantization offsets,
+  - y coded slice-by-slice by the conditional Gaussian with scale-table
+    CDFs, the context (mu/scale) computed from previously *reconstructed*
+    slices, with LRP applied identically on both sides.
+
+TPU-native design decisions:
+  - Encoder and decoder share the SAME jitted subfunctions (hyper
+    synthesis, per-slice context, per-slice reconstruction). XLA is free
+    to fuse differently in different graphs, which could flip a
+    round-to-nearest boundary and derail the autoregressive decode; using
+    one compiled function per stage on both sides makes the float context
+    bit-identical by construction.
+  - Symbols and indexes leave the device once per stage as int32 arrays
+    and go straight into the native threaded rANS (no Python-list
+    marshalling — the reference round-trips every element through
+    ``.tolist()``, ``entropy_models.py:228-234``).
+  - The batch dimension is coded as independent streams in parallel
+    (one rANS stream per image for y and for z).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import coding
+from ..entropy import (
+    EntropyTables,
+    build_indexes,
+    eb_tables_from_pmf_data,
+    gc_build_tables,
+    get_scale_table,
+)
+from .base import CodecTables
+
+
+def build_codec_tables(model, variables, precision: int = 16) -> CodecTables:
+    """Parity: reference ``model.update()`` (``cnn.py:133-138`` +
+    ``base.py:41-60``) — refresh Gaussian scale-table CDFs and every
+    EntropyBottleneck's CDFs."""
+    scale_table = get_scale_table()
+    gaussian = gc_build_tables(scale_table, precision=precision)
+
+    def _pmf(m):
+        return m.eb_pmf_data()
+
+    bottlenecks = {}
+    for name, data in model.apply(variables, method=_pmf).items():
+        bottlenecks[name] = eb_tables_from_pmf_data(*data, precision=precision)
+    return CodecTables(
+        gaussian=gaussian, scale_table=scale_table, bottlenecks=bottlenecks
+    )
+
+
+def _eb_indexes(shape_hw: tuple, C: int) -> np.ndarray:
+    """Channel-index map for a flattened (h, w, C) tensor."""
+    h, w = shape_hw
+    return np.tile(np.arange(C, dtype=np.int32), h * w)
+
+
+class CharmCodec:
+    """compress()/decompress() driver for models exposing the charm coder
+    interface: analyze, hyper_synth, slice_context, slice_reconstruct,
+    synthesize, eb_medians (see ``WACNN`` methods)."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        self.model = model
+        self.variables = variables
+        self.tables = tables or build_codec_tables(model, variables)
+        self._scale_table_dev = jnp.asarray(self.tables.scale_table)
+
+        mdl = model
+
+        @jax.jit
+        def analyze(v, x):
+            return mdl.apply(v, x, method=mdl.analyze)
+
+        @jax.jit
+        def eb_medians(v):
+            return mdl.apply(v, method=mdl.eb_medians)
+
+        @jax.jit
+        def z_symbols(v, z):
+            med = mdl.apply(v, method=mdl.eb_medians)
+            return jnp.round(z - med).astype(jnp.int32)
+
+        @jax.jit
+        def z_dequant(v, sym):
+            med = mdl.apply(v, method=mdl.eb_medians)
+            return sym.astype(jnp.float32) + med
+
+        @jax.jit
+        def hyper_synth(v, z_hat):
+            return mdl.apply(v, z_hat, method=mdl.hyper_synth)
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def slice_context(v, i, means, scales, support):
+            mu, scale, mean_support = mdl.apply(
+                v, i, means, scales, support, method=mdl.slice_context
+            )
+            index = build_indexes(scale, self._scale_table_dev)
+            return mu, scale, index, mean_support
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def slice_encode(v, i, y_slice, mu, mean_support):
+            sym = jnp.round(y_slice - mu).astype(jnp.int32)
+            y_hat = sym.astype(mu.dtype) + mu
+            lrp = mdl.apply(v, i, mean_support, y_hat, method=mdl.slice_lrp)
+            return sym, y_hat + lrp
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def slice_decode(v, i, sym, mu, mean_support):
+            y_hat = sym.astype(mu.dtype) + mu
+            lrp = mdl.apply(v, i, mean_support, y_hat, method=mdl.slice_lrp)
+            return y_hat + lrp
+
+        @jax.jit
+        def synthesize(v, y_hat):
+            x_hat = mdl.apply(v, y_hat, method=mdl.synthesize)
+            return jnp.clip(x_hat, 0.0, 1.0)
+
+        self._analyze = analyze
+        self._eb_medians = eb_medians
+        self._z_symbols = z_symbols
+        self._z_dequant = z_dequant
+        self._hyper_synth = hyper_synth
+        self._slice_context = slice_context
+        self._slice_encode = slice_encode
+        self._slice_decode = slice_decode
+        self._synthesize = synthesize
+
+    # --- z (factorized bottleneck) -----------------------------------------
+    def _z_tables(self) -> EntropyTables:
+        return self.tables.bottlenecks["entropy_bottleneck"]
+
+    def _encode_z(self, z) -> List[bytes]:
+        sym = np.asarray(jax.device_get(self._z_symbols(self.variables, z)))
+        B, h, w, C = sym.shape
+        t = self._z_tables()
+        idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
+        return coding.encode_batch(
+            sym.reshape(B, -1), idx, t.quantized_cdf, t.cdf_length, t.offset
+        )
+
+    def _decode_z(self, strings: List[bytes], shape_hw) -> jax.Array:
+        h, w = shape_hw
+        t = self._z_tables()
+        C = t.num_distributions
+        B = len(strings)
+        idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
+        sym = coding.decode_batch(
+            strings, idx, t.quantized_cdf, t.cdf_length, t.offset
+        )
+        sym = jnp.asarray(sym.reshape(B, h, w, C))
+        return self._z_dequant(self.variables, sym)
+
+    # --- public API --------------------------------------------------------
+    def compress(self, x, return_debug: bool = False) -> Dict[str, Any]:
+        """x: (B, H, W, 3) in [0, 1]. Returns
+        {"strings": [y_strings, z_strings], "shape": (zh, zw)} — the
+        reference output contract (``cnn.py:267``)."""
+        v = self.variables
+        y, z = self._analyze(v, x)
+        B = x.shape[0]
+        zh, zw = z.shape[1], z.shape[2]
+
+        z_strings = self._encode_z(z)
+        # encoder replicates decoder state: decode z from the stream path
+        z_hat = self._z_dequant(
+            v, self._z_symbols(v, z)
+        )
+
+        means, scales = self._hyper_synth(v, z_hat)
+
+        num_slices = self.model.num_slices
+        max_support = self.model.max_support_slices
+        y_slices = jnp.split(y, num_slices, axis=-1)
+
+        gt = self.tables.gaussian
+        y_hat_slices: List[jax.Array] = []
+        sym_list, idx_list = [], []
+        for i in range(num_slices):
+            support = (
+                y_hat_slices if max_support < 0 else y_hat_slices[:max_support]
+            )
+            mu, scale, index, mean_support = self._slice_context(
+                v, i, means, scales, support
+            )
+            sym, y_hat_slice = self._slice_encode(
+                v, i, y_slices[i], mu, mean_support
+            )
+            sym_list.append(np.asarray(jax.device_get(sym)).reshape(B, -1))
+            idx_list.append(np.asarray(jax.device_get(index)).reshape(B, -1))
+            y_hat_slices.append(y_hat_slice)
+
+        symbols = np.concatenate(sym_list, axis=1)
+        indexes = np.concatenate(idx_list, axis=1)
+        y_strings = coding.encode_batch(
+            symbols, indexes, gt.quantized_cdf, gt.cdf_length, gt.offset
+        )
+        out = {"strings": [y_strings, z_strings], "shape": (zh, zw)}
+        if return_debug:
+            out["y_hat"] = jnp.concatenate(y_hat_slices, axis=-1)
+            out["z_hat"] = z_hat
+        return out
+
+    def decompress(self, strings, shape) -> Dict[str, Any]:
+        v = self.variables
+        y_strings, z_strings = strings
+        z_hat = self._decode_z(z_strings, shape)
+        means, scales = self._hyper_synth(v, z_hat)
+
+        B = len(y_strings)
+        num_slices = self.model.num_slices
+        max_support = self.model.max_support_slices
+        gt = self.tables.gaussian
+
+        decoders = [coding.RansDecoder() for _ in range(B)]
+        for b in range(B):
+            decoders[b].set_stream(y_strings[b])
+
+        y_hat_slices: List[jax.Array] = []
+        for i in range(num_slices):
+            support = (
+                y_hat_slices if max_support < 0 else y_hat_slices[:max_support]
+            )
+            mu, _, index, mean_support = self._slice_context(
+                v, i, means, scales, support
+            )
+            idx_np = np.asarray(jax.device_get(index))
+            sh = idx_np.shape
+            sym = np.stack(
+                [
+                    np.asarray(
+                        decoders[b].decode_stream(
+                            idx_np[b].reshape(-1),
+                            gt.quantized_cdf,
+                            gt.cdf_length,
+                            gt.offset,
+                        )
+                    ).reshape(sh[1:])
+                    for b in range(B)
+                ]
+            ).astype(np.int32)
+            y_hat_slice = self._slice_decode(
+                v, i, jnp.asarray(sym), mu, mean_support
+            )
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self._synthesize(v, y_hat)
+        return {"x_hat": x_hat, "y_hat": y_hat}

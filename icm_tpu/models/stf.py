@@ -1,0 +1,245 @@
+"""SymmetricalTransFormer — Swin-transformer codec (registry: "stf").
+
+Behavioral parity with the reference ``SymmetricalTransFormer`` (reference:
+``compressai/models/stf.py:384-670``): patch-embed (patch 2, dim 48) +
+4-stage Swin analysis (depths 2,2,6,2 / heads 3,6,12,24 / window 4) with
+PatchMerging between stages -> y with C = 8*embed_dim = 384; mirrored
+synthesis with PatchSplit and a 5x5 conv + 2x depth-to-space + 3x3 conv
+head (``end_conv``); conv hyper 384->192; 12-slice ChARM context with
+6-slice support and LRP, identical slice math to WACNN.
+
+TPU-native: composes the shared NHWC Swin stack (``icm_tpu/nn/swin.py``)
+— the reference re-pastes that scaffolding per file. Implements the charm
+coder interface so ``CharmCodec`` drives real compress/decompress.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import EntropyBottleneck, GaussianConditional
+from ..nn import conv3x3, SubpelConv
+from ..nn.swin import BasicLayer, PatchEmbed
+from ..ops import ste_round
+from .base import CompressionModel
+from .cnn import _CCTransform
+
+
+class _SwinAnalysis(nn.Module):
+    embed_dim: int = 48
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 4
+    patch_size: int = 2
+    drop_path_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = PatchEmbed(
+            patch_size=self.patch_size, embed_dim=self.embed_dim, name="embed"
+        )(x)
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        n = len(self.depths)
+        for i in range(n):
+            x = BasicLayer(
+                dim=int(self.embed_dim * 2 ** i),
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_size,
+                drop_path=dpr[sum(self.depths[:i]) : sum(self.depths[: i + 1])],
+                downsample="merge" if i < n - 1 else None,
+                name=f"layer{i}",
+            )(x, deterministic)
+        return x
+
+
+class _SwinSynthesis(nn.Module):
+    embed_dim: int = 48
+    depths: Tuple[int, ...] = (2, 6, 2, 2)  # reversed analysis depths
+    num_heads: Tuple[int, ...] = (24, 12, 6, 3)
+    window_size: int = 4
+    patch_size: int = 2
+    drop_path_rate: float = 0.2
+    out_ch: int = 3
+
+    @nn.compact
+    def __call__(self, y, deterministic: bool = True):
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        n = len(self.depths)
+        x = y
+        for i in range(n):
+            x = BasicLayer(
+                dim=int(self.embed_dim * 2 ** (n - 1 - i)),
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_size,
+                drop_path=dpr[sum(self.depths[:i]) : sum(self.depths[: i + 1])],
+                downsample="split" if i < n - 1 else None,
+                name=f"layer{i}",
+            )(x, deterministic)
+        # end_conv: 5x5 conv -> depth-to-space(patch) -> 3x3 conv
+        x = SubpelConv(self.embed_dim, r=self.patch_size, kernel_size=5, name="up")(x)
+        x = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), name="to_rgb")(x)
+        return x
+
+
+class _HyperEncoderSTF(nn.Module):
+    widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
+
+    @nn.compact
+    def __call__(self, y):
+        strides = (1, 1, 2, 1, 2)
+        for i, (w, s) in enumerate(zip(self.widths, strides)):
+            if i > 0:
+                y = jax.nn.gelu(y)
+            y = conv3x3(w, stride=s)(y)
+        return y
+
+
+class _HyperDecoderSTF(nn.Module):
+    widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
+
+    @nn.compact
+    def __call__(self, z):
+        w = self.widths
+        z = conv3x3(w[0])(z)
+        z = jax.nn.gelu(z)
+        z = SubpelConv(w[1], r=2)(z)
+        z = jax.nn.gelu(z)
+        z = conv3x3(w[2])(z)
+        z = jax.nn.gelu(z)
+        z = SubpelConv(w[3], r=2)(z)
+        z = jax.nn.gelu(z)
+        z = conv3x3(w[4])(z)
+        return z
+
+
+class SymmetricalTransFormer(CompressionModel):
+    embed_dim: int = 48
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 4
+    patch_size: int = 2
+    num_slices: int = 12
+    drop_path_rate: float = 0.2
+    hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
+    hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
+    cc_widths: Tuple[int, ...] = (224, 176, 128, 64)
+
+    @property
+    def max_support_slices(self) -> int:
+        return self.num_slices // 2
+
+    @property
+    def latent_dim(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+    def setup(self):
+        self.g_a = _SwinAnalysis(
+            self.embed_dim,
+            self.depths,
+            self.num_heads,
+            self.window_size,
+            self.patch_size,
+            self.drop_path_rate,
+        )
+        self.g_s = _SwinSynthesis(
+            self.embed_dim,
+            tuple(reversed(self.depths)),
+            tuple(reversed(self.num_heads)),
+            self.window_size,
+            self.patch_size,
+            self.drop_path_rate,
+        )
+        self.h_a = _HyperEncoderSTF(self.hyper_enc_widths)
+        self.h_mean_s = _HyperDecoderSTF(self.hyper_dec_widths)
+        self.h_scale_s = _HyperDecoderSTF(self.hyper_dec_widths)
+        slice_ch = self.latent_dim // self.num_slices
+        self.cc_mean_transforms = [
+            _CCTransform(slice_ch, self.cc_widths, name=f"cc_mean_{i}")
+            for i in range(self.num_slices)
+        ]
+        self.cc_scale_transforms = [
+            _CCTransform(slice_ch, self.cc_widths, name=f"cc_scale_{i}")
+            for i in range(self.num_slices)
+        ]
+        self.lrp_transforms = [
+            _CCTransform(slice_ch, self.cc_widths, name=f"lrp_{i}")
+            for i in range(self.num_slices)
+        ]
+        self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
+        self.gaussian_conditional = GaussianConditional()
+
+    def _slice_params(self, i, latent_means, latent_scales, support):
+        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
+        mu = self.cc_mean_transforms[i](mean_support)
+        scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
+        scale = self.cc_scale_transforms[i](scale_support)
+        return mu, scale, mean_support
+
+    def _lrp(self, i, mean_support, y_hat_slice):
+        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        return 0.5 * jnp.tanh(self.lrp_transforms[i](lrp_support))
+
+    def __call__(self, x, training: bool = True):
+        y = self.g_a(x, deterministic=not training)
+        z = self.h_a(y)
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+
+        z_offset = self.entropy_bottleneck.medians()[:, 0, 0]
+        z_hat = ste_round(z - z_offset) + z_offset
+
+        latent_scales = self.h_scale_s(z_hat)
+        latent_means = self.h_mean_s(z_hat)
+
+        y_slices = jnp.split(y, self.num_slices, axis=-1)
+        y_hat_slices, y_likelihood = [], []
+        for i, y_slice in enumerate(y_slices):
+            support = y_hat_slices[: self.max_support_slices]
+            mu, scale, mean_support = self._slice_params(
+                i, latent_means, latent_scales, support
+            )
+            _, lik = self.gaussian_conditional(y_slice, scale, mu, training=training)
+            y_likelihood.append(lik)
+            y_hat_slice = ste_round(y_slice - mu) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        y_likelihoods = jnp.concatenate(y_likelihood, axis=-1)
+        x_hat = self.g_s(y_hat, deterministic=not training)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+    # --- charm coder interface (CharmCodec) --------------------------------
+    def analyze(self, x):
+        y = self.g_a(x, deterministic=True)
+        return y, self.h_a(y)
+
+    def hyper_synth(self, z_hat):
+        return self.h_mean_s(z_hat), self.h_scale_s(z_hat)
+
+    def slice_context(self, i, latent_means, latent_scales, support):
+        return self._slice_params(i, latent_means, latent_scales, support)
+
+    def slice_lrp(self, i, mean_support, y_hat_slice):
+        return self._lrp(i, mean_support, y_hat_slice)
+
+    def synthesize(self, y_hat):
+        return self.g_s(y_hat, deterministic=True)
+
+    def eb_medians(self):
+        return self.entropy_bottleneck.medians()[:, 0, 0]
+
+    def eb_pmf_data(self):
+        return {"entropy_bottleneck": self.entropy_bottleneck.pmf_data()}

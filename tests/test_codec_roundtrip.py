@@ -1,0 +1,77 @@
+"""Round-trip tests: compress() -> decompress() bitexact reconstruction
+(SURVEY.md §4.2 — the AR decoder only works if encoder/decoder context
+states match exactly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icm_tpu.models import CharmCodec, WACNN
+from icm_tpu.train import RateDistortionLoss, compute_bpp
+
+TINY = dict(
+    N=16,
+    M=24,
+    num_slices=6,
+    max_support_slices=5,
+    hyper_enc_widths=(24, 20, 16, 14, 12),
+    hyper_dec_widths=(12, 14, 16, 20, 24),
+    cc_widths=(16, 12, 10, 8),
+)
+
+
+@pytest.fixture(scope="module")
+def codec():
+    model = WACNN(**TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    return CharmCodec(model, variables), model, variables, x
+
+
+def test_roundtrip_bitexact_y_hat(codec):
+    c, model, variables, x = codec
+    enc = c.compress(x, return_debug=True)
+    assert len(enc["strings"]) == 2
+    assert len(enc["strings"][0]) == 2 and len(enc["strings"][1]) == 2
+    dec = c.decompress(enc["strings"], enc["shape"])
+    # decoder reconstructs the encoder's y_hat exactly
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    assert dec["x_hat"].shape == x.shape
+    arr = np.asarray(dec["x_hat"])
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_actual_bpp_close_to_estimate(codec):
+    """Real-coder bpp ~ entropy-estimate bpp (eval mode), within the
+    CDF-quantization/tail tolerance."""
+    c, model, variables, x = codec
+    enc = c.compress(x)
+    B, H, W, _ = x.shape
+    actual_bits = sum(len(s) * 8 for s in enc["strings"][0]) + sum(
+        len(s) * 8 for s in enc["strings"][1]
+    )
+    actual_bpp = actual_bits / (B * H * W)
+
+    out = model.apply(variables, x, training=False)
+    est_bpp = float(compute_bpp(out["likelihoods"], B * H * W))
+    # untrained model → high bpp; both should be same ballpark
+    assert actual_bpp == pytest.approx(est_bpp, rel=0.15), (actual_bpp, est_bpp)
+
+
+def test_decompress_matches_eval_forward_xhat(codec):
+    """Eval-mode forward x_hat (STE dequantize path) should equal the real
+    coder x_hat up to LRP/STE equivalence: both quantize y to the same grid."""
+    c, model, variables, x = codec
+    enc = c.compress(x, return_debug=True)
+    dec = c.decompress(enc["strings"], enc["shape"])
+    out = model.apply(variables, x, training=False)
+    # not bit-identical (forward applies noise-free STE with the same mu) —
+    # but reconstructions should be very close
+    a = np.asarray(dec["x_hat"])
+    b = np.clip(np.asarray(out["x_hat"]), 0, 1)
+    assert np.mean((a - b) ** 2) < 1e-3
