@@ -9,10 +9,22 @@ from .base import CompressionModel, CodecTables
 from .cnn import WACNN
 from .codec import CharmCodec, build_codec_tables
 from .stf import SymmetricalTransFormer
+from .stf_family import (
+    STF5_CONFIG,
+    STF6_CONFIG,
+    STF7_CONFIG,
+    STF8_CONFIG,
+    ZigzagSwinCodec,
+)
 
 models = {
     "cnn": (WACNN, {}),
     "stf": (SymmetricalTransFormer, {}),
+    "stf5": (ZigzagSwinCodec, STF5_CONFIG),
+    "stf6": (ZigzagSwinCodec, STF6_CONFIG),
+    "stf6_2": (ZigzagSwinCodec, STF6_CONFIG),  # reference stf6_2 == stf6
+    "stf7": (ZigzagSwinCodec, STF7_CONFIG),
+    "stf8": (ZigzagSwinCodec, STF8_CONFIG),
 }
 
 

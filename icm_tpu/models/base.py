@@ -1,30 +1,51 @@
-"""Compression model base.
+"""Compression model base: the ChARM coding protocol.
 
 Parity with the reference ``CompressionModel`` (reference:
-``compressai/models/base.py:6-70``): aggregates entropy-bottleneck aux
-losses and rebuilds CDF tables post-training. In this functional framework
-the CDF tables are *not* module buffers — ``update()`` returns a host-side
-``CodecTables`` bundle consumed by compress/decompress (the rANS coder runs
-on host; tables never enter the jitted graph).
+``compressai/models/base.py:6-70``) plus a unification the reference never
+made: every codec in the family (cnn, stf, stf5..stf8, the CRC/ICM models)
+runs the same autoregressive loop —
+
+    y, z = analyze(x);  z_hat = STE(z)
+    state = ctx_prepare(z_hat)            # hyper synthesis (+ zigzag split)
+    for i in slices:                      # channel or zigzag order
+        mu, scale = slice_context(i, state, support(i, decoded))
+        code y_i | refine with LRP
+    x_hat = synthesize(assemble(decoded))
+
+The reference re-implements this loop inline in every model file
+(``cnn.py:141-189``, ``stf.py:582-670``, ``stf6.py:763-880``, ...); here it
+is written ONCE (``__call__`` below for training/entropy-estimation, and
+``codec.CharmCodec`` for the real-bitstream path) and models supply the
+protocol methods. Because forward and coder share the same per-slice
+functions, the encoder/decoder context replication needed for bitexact
+AR decoding holds by construction.
+
+In this functional framework the CDF tables are *not* module buffers —
+``codec.build_codec_tables`` returns a host-side ``CodecTables`` bundle
+consumed by compress/decompress (the rANS coder runs on host; tables never
+enter the jitted graph).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
+import jax.numpy as jnp
 import numpy as np
 
 from ..entropy import EntropyTables
+from ..ops import ste_round
 
 
 @dataclasses.dataclass(frozen=True)
 class CodecTables:
-    """Host-side coder state built by ``update()``.
+    """Host-side coder state built by ``build_codec_tables``.
 
-    ``gaussian``: tables for the (shared) GaussianConditional, plus its
-    scale table. ``bottlenecks``: name -> tables for each EntropyBottleneck.
+    Mirrors the reference's post-training ``update()`` products
+    (``_quantized_cdf``/``_cdf_length``/``_offset`` buffers + scale table,
+    reference ``entropy_models.py:97-100``, ``cnn.py:133-138``).
     """
 
     gaussian: Optional[EntropyTables]
@@ -33,12 +54,79 @@ class CodecTables:
 
 
 class CompressionModel(nn.Module):
-    """Base class for all codecs.
+    """Base class; subclasses implement the ChARM protocol:
 
-    Subclasses define ``__call__`` returning
-    ``{"x_hat": ..., "likelihoods": {"y": ..., "z": ...}}`` and an
-    ``aux_loss`` method summing their EntropyBottlenecks' quantile losses.
+    - ``analyze(x, training=False) -> (y, z)``
+    - ``synthesize(y_hat, training=False) -> x_hat``
+    - ``ctx_prepare(z_hat) -> state`` (pytree; jittable)
+    - ``latent_slices(y) -> [y_slice]`` (jittable)
+    - ``ctx_slices -> int`` (static count of AR steps)
+    - ``ctx_support(i, decoded: list) -> list`` (pure python windowing)
+    - ``slice_context(i, state, support) -> (mu, scale, mean_support)``
+    - ``slice_lrp(i, mean_support, y_hat_slice) -> lrp``
+    - ``ctx_assemble([y_hat_slice]) -> y_hat``
+    - ``eb_medians() -> (C,)``; ``eb_pmf_data() -> {name: pmf tuple}``
+
+    plus ``entropy_bottleneck`` / ``gaussian_conditional`` submodules.
     """
 
-    def aux_loss(self):  # pragma: no cover - overridden
-        raise NotImplementedError
+    def __call__(self, x, training: bool = True):
+        y, z = self.analyze(x, training=training)
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+
+        # STE-rounded z for the hyper path (reference cnn.py:150-152)
+        z_offset = self.eb_medians()
+        z_hat = ste_round(z - z_offset) + z_offset
+
+        state = self.ctx_prepare(z_hat)
+        y_slices = self.latent_slices(y)
+        y_hat_slices: List[Any] = []
+        y_likelihood = []
+        for i in range(self.ctx_slices):
+            support = self.ctx_support(i, y_hat_slices)
+            mu, scale, mean_support = self.slice_context(i, state, support)
+            _, lik = self.gaussian_conditional(
+                y_slices[i], scale, mu, training=training
+            )
+            y_likelihood.append(lik)
+            y_hat_slice = ste_round(y_slices[i] - mu) + mu
+            y_hat_slice = y_hat_slice + self.slice_lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = self.ctx_assemble(y_hat_slices)
+        y_likelihoods = jnp.concatenate(y_likelihood, axis=-1)
+        x_hat = self.synthesize(y_hat, training=training)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    # --- defaults shared by the whole family -------------------------------
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+    def eb_medians(self):
+        return self.entropy_bottleneck.medians()[:, 0, 0]
+
+    def eb_pmf_data(self):
+        return {"entropy_bottleneck": self.entropy_bottleneck.pmf_data()}
+
+
+def prefix_support(max_support: int):
+    """First-K support (reference cnn.py:162: ``y_hat_slices[:K]``;
+    K < 0 means all)."""
+
+    def fn(i: int, decoded: list) -> list:
+        return decoded if max_support < 0 else decoded[:max_support]
+
+    return fn
+
+
+def sliding_support(max_support: int):
+    """Last-K sliding window (reference stf6.py:806:
+    ``decoded if K > i else decoded[i-K:]``)."""
+
+    def fn(i: int, decoded: list) -> list:
+        return decoded if max_support > i else decoded[i - max_support :]
+
+    return fn

@@ -32,8 +32,7 @@ from ..nn import (
     conv3x3,
     deconv,
 )
-from ..ops import ste_round
-from .base import CompressionModel
+from .base import CompressionModel, prefix_support
 
 
 class _AnalysisCNN(nn.Module):
@@ -158,87 +157,40 @@ class WACNN(CompressionModel):
         self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
         self.gaussian_conditional = GaussianConditional()
 
-    # --- slice context (shared by forward / compress / decompress) --------
-    def _slice_params(self, slice_index, latent_means, latent_scales, support):
-        """mu, scale for one slice given decoded-so-far supports."""
-        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
-        mu = self.cc_mean_transforms[slice_index](mean_support)
-        scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
-        scale = self.cc_scale_transforms[slice_index](scale_support)
-        return mu, scale, mean_support
-
-    def _lrp(self, slice_index, mean_support, y_hat_slice):
-        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
-        lrp = self.lrp_transforms[slice_index](lrp_support)
-        return 0.5 * jnp.tanh(lrp)
-
-    def __call__(self, x, training: bool = True):
-        y = self.g_a(x)
-        z = self.h_a(y)
-        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
-
-        # STE-rounded z for the hyper-synthesis (reference cnn.py:150-152)
-        z_offset = self.entropy_bottleneck.medians()[:, 0, 0]  # (C,)
-        z_hat = ste_round(z - z_offset) + z_offset
-
-        latent_scales = self.h_scale_s(z_hat)
-        latent_means = self.h_mean_s(z_hat)
-
-        y_slices = jnp.split(y, self.num_slices, axis=-1)
-        y_hat_slices = []
-        y_likelihood = []
-        for i, y_slice in enumerate(y_slices):
-            support = (
-                y_hat_slices
-                if self.max_support_slices < 0
-                else y_hat_slices[: self.max_support_slices]
-            )
-            mu, scale, mean_support = self._slice_params(
-                i, latent_means, latent_scales, support
-            )
-            _, lik = self.gaussian_conditional(
-                y_slice, scale, mu, training=training
-            )
-            y_likelihood.append(lik)
-            y_hat_slice = ste_round(y_slice - mu) + mu
-            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
-            y_hat_slices.append(y_hat_slice)
-
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        y_likelihoods = jnp.concatenate(y_likelihood, axis=-1)
-        x_hat = self.g_s(y_hat)
-        return {
-            "x_hat": x_hat,
-            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
-        }
-
-    def aux_loss(self):
-        return self.entropy_bottleneck.aux_loss()
-
-    # --- coder-path building blocks (called via model.apply(method=...)) ---
-    def analyze(self, x):
-        """x -> (y, z)."""
+    # --- ChARM protocol (see base.CompressionModel) ------------------------
+    def analyze(self, x, training: bool = False):
         y = self.g_a(x)
         return y, self.h_a(y)
 
-    def hyper_synth(self, z_hat):
-        return self.h_mean_s(z_hat), self.h_scale_s(z_hat)
-
-    def slice_context(self, slice_index, latent_means, latent_scales, support):
-        mu, scale, mean_support = self._slice_params(
-            slice_index, latent_means, latent_scales, support
-        )
-        return mu, scale, mean_support
-
-    def slice_lrp(self, slice_index, mean_support, y_hat_slice):
-        return self._lrp(slice_index, mean_support, y_hat_slice)
-
-    def synthesize(self, y_hat):
+    def synthesize(self, y_hat, training: bool = False):
         return self.g_s(y_hat)
 
-    def eb_medians(self):
-        return self.entropy_bottleneck.medians()[:, 0, 0]
+    def ctx_prepare(self, z_hat):
+        return {
+            "means": self.h_mean_s(z_hat),
+            "scales": self.h_scale_s(z_hat),
+        }
 
-    def eb_pmf_data(self):
-        """All entropy bottlenecks' pmf data for CDF table building."""
-        return {"entropy_bottleneck": self.entropy_bottleneck.pmf_data()}
+    def latent_slices(self, y):
+        return jnp.split(y, self.num_slices, axis=-1)
+
+    @property
+    def ctx_slices(self) -> int:
+        return self.num_slices
+
+    def ctx_support(self, i: int, decoded: list) -> list:
+        return prefix_support(self.max_support_slices)(i, decoded)
+
+    def slice_context(self, i, state, support):
+        mean_support = jnp.concatenate([state["means"]] + support, axis=-1)
+        mu = self.cc_mean_transforms[i](mean_support)
+        scale_support = jnp.concatenate([state["scales"]] + support, axis=-1)
+        scale = self.cc_scale_transforms[i](scale_support)
+        return mu, scale, mean_support
+
+    def slice_lrp(self, i, mean_support, y_hat_slice):
+        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        return 0.5 * jnp.tanh(self.lrp_transforms[i](lrp_support))
+
+    def ctx_assemble(self, y_hat_slices):
+        return jnp.concatenate(y_hat_slices, axis=-1)

@@ -1,4 +1,4 @@
-"""Real-bitstream compress/decompress for ChARM-style codecs.
+"""Real-bitstream compress/decompress for ChARM-protocol codecs.
 
 Behavioral parity with the reference coder paths (reference:
 ``cnn.py:210-332``; ``EntropyBottleneck.compress/decompress``
@@ -6,23 +6,25 @@ Behavioral parity with the reference coder paths (reference:
 ``entropy_models.py:203-290``):
   - z coded by the factorized bottleneck with per-channel CDFs and medians
     as quantization offsets,
-  - y coded slice-by-slice by the conditional Gaussian with scale-table
-    CDFs, the context (mu/scale) computed from previously *reconstructed*
-    slices, with LRP applied identically on both sides.
+  - y coded slice-by-slice (channel or zigzag order) by the conditional
+    Gaussian with scale-table CDFs, context computed from previously
+    *reconstructed* slices, LRP applied identically on both sides.
 
 TPU-native design decisions:
-  - Encoder and decoder share the SAME jitted subfunctions (hyper
-    synthesis, per-slice context, per-slice reconstruction). XLA is free
-    to fuse differently in different graphs, which could flip a
-    round-to-nearest boundary and derail the autoregressive decode; using
-    one compiled function per stage on both sides makes the float context
-    bit-identical by construction.
-  - Symbols and indexes leave the device once per stage as int32 arrays
-    and go straight into the native threaded rANS (no Python-list
-    marshalling — the reference round-trips every element through
-    ``.tolist()``, ``entropy_models.py:228-234``).
-  - The batch dimension is coded as independent streams in parallel
-    (one rANS stream per image for y and for z).
+  - Encoder and decoder share the SAME jitted subfunctions (ctx_prepare,
+    per-slice context, per-slice reconstruction). XLA is free to fuse
+    differently in different graphs, which could flip a round-to-nearest
+    boundary and derail the autoregressive decode; one compiled function
+    per stage on both sides makes the float context bit-identical by
+    construction.
+  - Symbols and indexes leave the device as int32 arrays straight into
+    the native threaded rANS (no Python-list marshalling — the reference
+    round-trips every element through ``.tolist()``,
+    ``entropy_models.py:228-234``).
+  - The batch dimension is coded as independent parallel streams.
+
+Works for ANY model implementing the ChARM protocol (cnn, stf, the
+stf5-8 family, CRC layers...).
 """
 
 from __future__ import annotations
@@ -70,9 +72,8 @@ def _eb_indexes(shape_hw: tuple, C: int) -> np.ndarray:
 
 
 class CharmCodec:
-    """compress()/decompress() driver for models exposing the charm coder
-    interface: analyze, hyper_synth, slice_context, slice_reconstruct,
-    synthesize, eb_medians (see ``WACNN`` methods)."""
+    """compress()/decompress() driver over the ChARM protocol
+    (see ``base.CompressionModel``)."""
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
         self.model = model
@@ -87,10 +88,6 @@ class CharmCodec:
             return mdl.apply(v, x, method=mdl.analyze)
 
         @jax.jit
-        def eb_medians(v):
-            return mdl.apply(v, method=mdl.eb_medians)
-
-        @jax.jit
         def z_symbols(v, z):
             med = mdl.apply(v, method=mdl.eb_medians)
             return jnp.round(z - med).astype(jnp.int32)
@@ -101,13 +98,17 @@ class CharmCodec:
             return sym.astype(jnp.float32) + med
 
         @jax.jit
-        def hyper_synth(v, z_hat):
-            return mdl.apply(v, z_hat, method=mdl.hyper_synth)
+        def ctx_prepare(v, z_hat):
+            return mdl.apply(v, z_hat, method=mdl.ctx_prepare)
+
+        @jax.jit
+        def latent_slices(v, y):
+            return mdl.apply(v, y, method=mdl.latent_slices)
 
         @functools.partial(jax.jit, static_argnums=(1,))
-        def slice_context(v, i, means, scales, support):
+        def slice_context(v, i, state, support):
             mu, scale, mean_support = mdl.apply(
-                v, i, means, scales, support, method=mdl.slice_context
+                v, i, state, support, method=mdl.slice_context
             )
             index = build_indexes(scale, self._scale_table_dev)
             return mu, scale, index, mean_support
@@ -126,19 +127,20 @@ class CharmCodec:
             return y_hat + lrp
 
         @jax.jit
-        def synthesize(v, y_hat):
+        def assemble_synthesize(v, y_hat_slices):
+            y_hat = mdl.apply(v, y_hat_slices, method=mdl.ctx_assemble)
             x_hat = mdl.apply(v, y_hat, method=mdl.synthesize)
-            return jnp.clip(x_hat, 0.0, 1.0)
+            return y_hat, jnp.clip(x_hat, 0.0, 1.0)
 
         self._analyze = analyze
-        self._eb_medians = eb_medians
         self._z_symbols = z_symbols
         self._z_dequant = z_dequant
-        self._hyper_synth = hyper_synth
+        self._ctx_prepare = ctx_prepare
+        self._latent_slices = latent_slices
         self._slice_context = slice_context
         self._slice_encode = slice_encode
         self._slice_decode = slice_decode
-        self._synthesize = synthesize
+        self._assemble_synthesize = assemble_synthesize
 
     # --- z (factorized bottleneck) -----------------------------------------
     def _z_tables(self) -> EntropyTables:
@@ -176,26 +178,19 @@ class CharmCodec:
         zh, zw = z.shape[1], z.shape[2]
 
         z_strings = self._encode_z(z)
-        # encoder replicates decoder state: decode z from the stream path
-        z_hat = self._z_dequant(
-            v, self._z_symbols(v, z)
-        )
+        # encoder replicates decoder state: z_hat from the coded symbols
+        z_hat = self._z_dequant(v, self._z_symbols(v, z))
 
-        means, scales = self._hyper_synth(v, z_hat)
-
-        num_slices = self.model.num_slices
-        max_support = self.model.max_support_slices
-        y_slices = jnp.split(y, num_slices, axis=-1)
+        state = self._ctx_prepare(v, z_hat)
+        y_slices = self._latent_slices(v, y)
 
         gt = self.tables.gaussian
         y_hat_slices: List[jax.Array] = []
         sym_list, idx_list = [], []
-        for i in range(num_slices):
-            support = (
-                y_hat_slices if max_support < 0 else y_hat_slices[:max_support]
-            )
+        for i in range(self.model.ctx_slices):
+            support = self.model.ctx_support(i, y_hat_slices)
             mu, scale, index, mean_support = self._slice_context(
-                v, i, means, scales, support
+                v, i, state, support
             )
             sym, y_hat_slice = self._slice_encode(
                 v, i, y_slices[i], mu, mean_support
@@ -211,7 +206,8 @@ class CharmCodec:
         )
         out = {"strings": [y_strings, z_strings], "shape": (zh, zw)}
         if return_debug:
-            out["y_hat"] = jnp.concatenate(y_hat_slices, axis=-1)
+            y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
+            out["y_hat"] = y_hat
             out["z_hat"] = z_hat
         return out
 
@@ -219,11 +215,9 @@ class CharmCodec:
         v = self.variables
         y_strings, z_strings = strings
         z_hat = self._decode_z(z_strings, shape)
-        means, scales = self._hyper_synth(v, z_hat)
+        state = self._ctx_prepare(v, z_hat)
 
         B = len(y_strings)
-        num_slices = self.model.num_slices
-        max_support = self.model.max_support_slices
         gt = self.tables.gaussian
 
         decoders = [coding.RansDecoder() for _ in range(B)]
@@ -231,13 +225,9 @@ class CharmCodec:
             decoders[b].set_stream(y_strings[b])
 
         y_hat_slices: List[jax.Array] = []
-        for i in range(num_slices):
-            support = (
-                y_hat_slices if max_support < 0 else y_hat_slices[:max_support]
-            )
-            mu, _, index, mean_support = self._slice_context(
-                v, i, means, scales, support
-            )
+        for i in range(self.model.ctx_slices):
+            support = self.model.ctx_support(i, y_hat_slices)
+            mu, _, index, mean_support = self._slice_context(v, i, state, support)
             idx_np = np.asarray(jax.device_get(index))
             sh = idx_np.shape
             sym = np.stack(
@@ -258,6 +248,5 @@ class CharmCodec:
             )
             y_hat_slices.append(y_hat_slice)
 
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self._synthesize(v, y_hat)
+        y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
         return {"x_hat": x_hat, "y_hat": y_hat}

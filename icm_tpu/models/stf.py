@@ -25,8 +25,7 @@ import numpy as np
 from ..entropy import EntropyBottleneck, GaussianConditional
 from ..nn import conv3x3, SubpelConv
 from ..nn.swin import BasicLayer, PatchEmbed
-from ..ops import ste_round
-from .base import CompressionModel
+from .base import CompressionModel, prefix_support
 from .cnn import _CCTransform
 
 
@@ -175,71 +174,40 @@ class SymmetricalTransFormer(CompressionModel):
         self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
         self.gaussian_conditional = GaussianConditional()
 
-    def _slice_params(self, i, latent_means, latent_scales, support):
-        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
+    # --- ChARM protocol (see base.CompressionModel) ------------------------
+    def analyze(self, x, training: bool = False):
+        y = self.g_a(x, deterministic=not training)
+        return y, self.h_a(y)
+
+    def synthesize(self, y_hat, training: bool = False):
+        return self.g_s(y_hat, deterministic=not training)
+
+    def ctx_prepare(self, z_hat):
+        return {
+            "means": self.h_mean_s(z_hat),
+            "scales": self.h_scale_s(z_hat),
+        }
+
+    def latent_slices(self, y):
+        return jnp.split(y, self.num_slices, axis=-1)
+
+    @property
+    def ctx_slices(self) -> int:
+        return self.num_slices
+
+    def ctx_support(self, i: int, decoded: list) -> list:
+        return prefix_support(self.max_support_slices)(i, decoded)
+
+    def slice_context(self, i, state, support):
+        mean_support = jnp.concatenate([state["means"]] + support, axis=-1)
         mu = self.cc_mean_transforms[i](mean_support)
-        scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
+        scale_support = jnp.concatenate([state["scales"]] + support, axis=-1)
         scale = self.cc_scale_transforms[i](scale_support)
         return mu, scale, mean_support
 
-    def _lrp(self, i, mean_support, y_hat_slice):
+    def slice_lrp(self, i, mean_support, y_hat_slice):
         lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
         return 0.5 * jnp.tanh(self.lrp_transforms[i](lrp_support))
 
-    def __call__(self, x, training: bool = True):
-        y = self.g_a(x, deterministic=not training)
-        z = self.h_a(y)
-        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
-
-        z_offset = self.entropy_bottleneck.medians()[:, 0, 0]
-        z_hat = ste_round(z - z_offset) + z_offset
-
-        latent_scales = self.h_scale_s(z_hat)
-        latent_means = self.h_mean_s(z_hat)
-
-        y_slices = jnp.split(y, self.num_slices, axis=-1)
-        y_hat_slices, y_likelihood = [], []
-        for i, y_slice in enumerate(y_slices):
-            support = y_hat_slices[: self.max_support_slices]
-            mu, scale, mean_support = self._slice_params(
-                i, latent_means, latent_scales, support
-            )
-            _, lik = self.gaussian_conditional(y_slice, scale, mu, training=training)
-            y_likelihood.append(lik)
-            y_hat_slice = ste_round(y_slice - mu) + mu
-            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
-            y_hat_slices.append(y_hat_slice)
-
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        y_likelihoods = jnp.concatenate(y_likelihood, axis=-1)
-        x_hat = self.g_s(y_hat, deterministic=not training)
-        return {
-            "x_hat": x_hat,
-            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
-        }
-
-    def aux_loss(self):
-        return self.entropy_bottleneck.aux_loss()
-
-    # --- charm coder interface (CharmCodec) --------------------------------
-    def analyze(self, x):
-        y = self.g_a(x, deterministic=True)
-        return y, self.h_a(y)
-
-    def hyper_synth(self, z_hat):
-        return self.h_mean_s(z_hat), self.h_scale_s(z_hat)
-
-    def slice_context(self, i, latent_means, latent_scales, support):
-        return self._slice_params(i, latent_means, latent_scales, support)
-
-    def slice_lrp(self, i, mean_support, y_hat_slice):
-        return self._lrp(i, mean_support, y_hat_slice)
-
-    def synthesize(self, y_hat):
-        return self.g_s(y_hat, deterministic=True)
-
-    def eb_medians(self):
-        return self.entropy_bottleneck.medians()[:, 0, 0]
-
-    def eb_pmf_data(self):
-        return {"entropy_bottleneck": self.entropy_bottleneck.pmf_data()}
+    def ctx_assemble(self, y_hat_slices):
+        return jnp.concatenate(y_hat_slices, axis=-1)

@@ -1,0 +1,264 @@
+"""The stf5-stf8 family: Swin codec + zigzag/sliding context + Swin refiners.
+
+One parameterized model covers four reference variants that differ only in
+context configuration (the reference re-pastes ~1000 lines per variant):
+
+  - stf5 ``SymmetricalTransFormer2`` (reference stf5.py:384-1084): 12
+    channel slices, sliding support num_slices//2, full-latent mean
+    conditioning, mu/sigma/LRP refiners of reversed-depth Swin stacks
+    (2,6,2,2) at window 4.
+  - stf6 ``SymmetricalTransFormer3`` (stf6.py:384-1057; stf6_2 is
+    byte-identical): 6 channel slices x 2x2 spatial zigzag = 24 slices,
+    sliding support 16, mean conditioning = the co-located zigzag mean
+    block (window 1), mu refiner only (sigma/LRP built but disabled in
+    the reference forward — reproduced as disabled).
+  - stf7 ``SymmetricalTransFormer4`` (stf7.py:384-1093): 12 channel
+    slices, prefix support 6, full-latent means, light refiners
+    mu (2,6) / sigma (2,2) / LRP (2,6) at window 8.
+  - stf8 ``SymmetricalTransFormer5`` (stf8.py:384-1087): zigzag 6x4,
+    sliding support 12, mean conditioning = look-ahead window of
+    support_num=24 zigzag mean blocks (clamped at the tail,
+    stf8.py:829-833), refiners mu (2,6) / sigma (2,2) / LRP (2,6) at
+    window 8.
+
+Implements the ChARM protocol, so training forward (base.__call__) and the
+real coder (codec.CharmCodec) come for free. TPU-native: zigzag split is a
+static gather (icm_tpu/scan), refiners are shared-stack Swin modules.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..scan import zigzag_merge, zigzag_split
+from .base import CompressionModel, prefix_support, sliding_support
+from .cnn import _CCTransform
+from .stf import (
+    SymmetricalTransFormer,
+    _HyperDecoderSTF,
+    _HyperEncoderSTF,
+    _SwinAnalysis,
+    _SwinSynthesis,
+)
+from ..entropy import EntropyBottleneck, GaussianConditional
+from ..nn.swin import BasicLayer
+
+
+class _Refiner(nn.Module):
+    """Residual per-slice Swin refinement stack (reference stf5.py:484-570:
+    per-slice BasicLayer stacks added residually to the conv context
+    output)."""
+
+    dim: int
+    depths: Tuple[int, ...]
+    num_heads: int = 4
+    window_size: int = 4
+    drop_path_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        r = x
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        for j, d in enumerate(self.depths):
+            r = BasicLayer(
+                dim=self.dim,
+                depth=d,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                drop_path=dpr[sum(self.depths[:j]) : sum(self.depths[: j + 1])],
+                name=f"stage{j}",
+            )(r, deterministic)
+        return x + r
+
+
+class ZigzagSwinCodec(CompressionModel):
+    # Swin transform config (same defaults as stf)
+    embed_dim: int = 48
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 4
+    patch_size: int = 2
+    drop_path_rate: float = 0.2
+    hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
+    hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
+    cc_widths: Tuple[int, ...] = (224, 176, 128, 64)
+    # context config
+    num_slices: int = 6  # channel slices
+    spatial_number: int = 2  # 1 = channel-only; 2 = 2x2 zigzag blocks
+    zigzag_constrained: bool = True
+    support_mode: str = "sliding"  # "prefix" | "sliding"
+    max_support: int = 16
+    mean_mode: str = "window"  # "full" | "window"
+    mean_window: int = 1  # zigzag mean blocks (mean_mode="window")
+    # refiners: depth tuples; empty = disabled
+    mu_refine: Tuple[int, ...] = (2, 6, 2, 2)
+    scale_refine: Tuple[int, ...] = ()
+    lrp_refine: Tuple[int, ...] = ()
+    refine_window: int = 4
+    refine_heads: int = 4
+
+    @property
+    def latent_dim(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+    @property
+    def ctx_slices(self) -> int:
+        return self.num_slices * self.spatial_number ** 2
+
+    @property
+    def slice_ch(self) -> int:
+        return self.latent_dim // self.num_slices
+
+    def setup(self):
+        self.g_a = _SwinAnalysis(
+            self.embed_dim, self.depths, self.num_heads,
+            self.window_size, self.patch_size, self.drop_path_rate,
+        )
+        self.g_s = _SwinSynthesis(
+            self.embed_dim, tuple(reversed(self.depths)),
+            tuple(reversed(self.num_heads)), self.window_size,
+            self.patch_size, self.drop_path_rate,
+        )
+        self.h_a = _HyperEncoderSTF(self.hyper_enc_widths)
+        self.h_mean_s = _HyperDecoderSTF(self.hyper_dec_widths)
+        self.h_scale_s = _HyperDecoderSTF(self.hyper_dec_widths)
+
+        N = self.ctx_slices
+        self.cc_mean_transforms = [
+            _CCTransform(self.slice_ch, self.cc_widths, name=f"cc_mean_{i}")
+            for i in range(N)
+        ]
+        self.cc_scale_transforms = [
+            _CCTransform(self.slice_ch, self.cc_widths, name=f"cc_scale_{i}")
+            for i in range(N)
+        ]
+        self.lrp_transforms = [
+            _CCTransform(self.slice_ch, self.cc_widths, name=f"lrp_{i}")
+            for i in range(N)
+        ]
+
+        def refiners(depths, tag):
+            if not depths:
+                return None
+            return [
+                _Refiner(
+                    dim=self.slice_ch,
+                    depths=tuple(depths),
+                    num_heads=self.refine_heads,
+                    window_size=self.refine_window,
+                    drop_path_rate=self.drop_path_rate,
+                    name=f"{tag}_refine_{i}",
+                )
+                for i in range(N)
+            ]
+
+        self.mu_refiners = refiners(self.mu_refine, "mu")
+        self.scale_refiners = refiners(self.scale_refine, "sigma")
+        self.lrp_refiners = refiners(self.lrp_refine, "lrp")
+
+        self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
+        self.gaussian_conditional = GaussianConditional()
+
+    # --- ChARM protocol -----------------------------------------------------
+    def analyze(self, x, training: bool = False):
+        y = self.g_a(x, deterministic=not training)
+        return y, self.h_a(y)
+
+    def synthesize(self, y_hat, training: bool = False):
+        return self.g_s(y_hat, deterministic=not training)
+
+    def _split(self, t):
+        if self.spatial_number == 1:
+            return jnp.split(t, self.num_slices, axis=-1)
+        zz = zigzag_split(
+            t, self.num_slices, self.spatial_number, self.spatial_number,
+            self.zigzag_constrained,
+        )
+        return [zz[:, i] for i in range(zz.shape[1])]
+
+    def ctx_prepare(self, z_hat):
+        means = self.h_mean_s(z_hat)
+        scales = self.h_scale_s(z_hat)
+        if self.mean_mode == "full":
+            return {"means": [means], "scales": [scales]}
+        return {"means": self._split(means), "scales": self._split(scales)}
+
+    def latent_slices(self, y):
+        return self._split(y)
+
+    def ctx_support(self, i: int, decoded: list) -> list:
+        fn = (
+            sliding_support(self.max_support)
+            if self.support_mode == "sliding"
+            else prefix_support(self.max_support)
+        )
+        return fn(i, decoded)
+
+    def _cond(self, blocks: list, i: int) -> list:
+        """Mean/scale conditioning input for slice i."""
+        if self.mean_mode == "full":
+            return blocks  # [full latent tensor]
+        N = self.ctx_slices
+        w = self.mean_window
+        if i + w > N:
+            return blocks[N - w :]  # tail clamp (stf8.py:829-833)
+        return blocks[i : i + w]
+
+    def slice_context(self, i, state, support):
+        mean_support = jnp.concatenate(
+            self._cond(state["means"], i) + support, axis=-1
+        )
+        mu = self.cc_mean_transforms[i](mean_support)
+        if self.mu_refiners is not None:
+            mu = self.mu_refiners[i](mu)
+        scale_support = jnp.concatenate(
+            self._cond(state["scales"], i) + support, axis=-1
+        )
+        scale = self.cc_scale_transforms[i](scale_support)
+        if self.scale_refiners is not None:
+            scale = self.scale_refiners[i](scale)
+        return mu, scale, mean_support
+
+    def slice_lrp(self, i, mean_support, y_hat_slice):
+        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        lrp = self.lrp_transforms[i](lrp_support)
+        if self.lrp_refiners is not None:
+            lrp = self.lrp_refiners[i](lrp)
+        return 0.5 * jnp.tanh(lrp)
+
+    def ctx_assemble(self, y_hat_slices):
+        if self.spatial_number == 1:
+            return jnp.concatenate(y_hat_slices, axis=-1)
+        zz = jnp.stack(y_hat_slices, axis=1)
+        return zigzag_merge(
+            zz, self.num_slices, self.spatial_number, self.spatial_number,
+            self.zigzag_constrained,
+        )
+
+
+# --- reference-variant presets ----------------------------------------------
+
+STF5_CONFIG = dict(
+    num_slices=12, spatial_number=1, support_mode="sliding", max_support=6,
+    mean_mode="full", mu_refine=(2, 6, 2, 2), scale_refine=(2, 6, 2, 2),
+    lrp_refine=(2, 6, 2, 2), refine_window=4,
+)
+STF6_CONFIG = dict(
+    num_slices=6, spatial_number=2, support_mode="sliding", max_support=16,
+    mean_mode="window", mean_window=1, mu_refine=(2, 6, 2, 2),
+    scale_refine=(), lrp_refine=(), refine_window=4,
+)
+STF7_CONFIG = dict(
+    num_slices=12, spatial_number=1, support_mode="prefix", max_support=6,
+    mean_mode="full", mu_refine=(2, 6), scale_refine=(2, 2),
+    lrp_refine=(2, 6), refine_window=8,
+)
+STF8_CONFIG = dict(
+    num_slices=6, spatial_number=2, support_mode="sliding", max_support=12,
+    mean_mode="window", mean_window=24, mu_refine=(2, 6),
+    scale_refine=(2, 2), lrp_refine=(2, 6), refine_window=8,
+)
