@@ -16,6 +16,13 @@ from .stf_family import (
     STF8_CONFIG,
     ZigzagSwinCodec,
 )
+from .crc import (
+    ConditionalResidualCoding,
+    ConditionalResidualCoding2,
+    ConditionalResidualCoding3,
+    ResidualCoding,
+)
+from .zigzag_coder import ZigzagCharmCoder
 
 models = {
     "cnn": (WACNN, {}),
@@ -25,6 +32,11 @@ models = {
     "stf6_2": (ZigzagSwinCodec, STF6_CONFIG),  # reference stf6_2 == stf6
     "stf7": (ZigzagSwinCodec, STF7_CONFIG),
     "stf8": (ZigzagSwinCodec, STF8_CONFIG),
+    "stf9": (ConditionalResidualCoding, {}),
+    "stf11": (ConditionalResidualCoding, {}),  # reference stf11 == stf9
+    "stf12": (ConditionalResidualCoding2, {}),
+    "stf13": (ConditionalResidualCoding3, {}),
+    "stf14": (ResidualCoding, {}),
 }
 
 

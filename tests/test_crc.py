@@ -1,0 +1,52 @@
+import jax
+import numpy as np
+import pytest
+
+from icm_tpu.models import create_model
+
+TINY = dict(
+    N=16,
+    M=24,
+    mid=32,
+    num_slices=2,
+    max_support=4,
+    support_num=8,
+    hyper_enc_widths=(24, 20, 16, 14, 12),
+    hyper_dec_widths=(14, 16, 20, 24, 24),
+    cc_widths=(20, 12),
+)
+
+
+@pytest.mark.parametrize("name", ["stf9", "stf12", "stf13", "stf14"])
+def test_crc_forward(name):
+    model = create_model(name, **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    out = model.apply(
+        variables, x, training=True, rngs={"noise": jax.random.PRNGKey(3)}
+    )
+    # reference output contract: decompressedImage + human-layer likelihoods
+    assert out["decompressedImage"].shape == x.shape
+    assert out["x_hat"].shape == x.shape
+    assert out["machine_x_hat"].shape == x.shape
+    for k in ("y", "z"):
+        assert np.all(np.asarray(out["likelihoods"][k]) > 0)
+        assert np.all(np.asarray(out["machine_likelihoods"][k]) > 0)
+    if name == "stf13":
+        assert out["seg_x_hat"].shape == x.shape
+        assert np.all(np.asarray(out["seg_likelihoods"]["y"]) > 0)
+
+    # aux loss covers all bottlenecks
+    aux = model.apply(variables, method=model.aux_loss)
+    assert np.isfinite(float(aux))
+    pmf = model.apply(variables, method=model.eb_pmf_data)
+    expected = 3 if name == "stf13" else 2
+    assert len(pmf) == expected
+
+
+def test_stf11_is_stf9():
+    m9 = create_model("stf9", **TINY)
+    m11 = create_model("stf11", **TINY)
+    assert type(m9) is type(m11)
