@@ -22,6 +22,12 @@ from .crc import (
     ConditionalResidualCoding3,
     ResidualCoding,
 )
+from .icm import (
+    FasterRCNN_Coding,
+    MaskedRCNN_FasterRCNN_Coding,
+    SymmetricalTransFormer7,
+    WACNN2,
+)
 from .zigzag_coder import ZigzagCharmCoder
 
 models = {
@@ -33,10 +39,14 @@ models = {
     "stf7": (ZigzagSwinCodec, STF7_CONFIG),
     "stf8": (ZigzagSwinCodec, STF8_CONFIG),
     "stf9": (ConditionalResidualCoding, {}),
+    "stf10": (SymmetricalTransFormer7, {}),
     "stf11": (ConditionalResidualCoding, {}),  # reference stf11 == stf9
     "stf12": (ConditionalResidualCoding2, {}),
     "stf13": (ConditionalResidualCoding3, {}),
     "stf14": (ResidualCoding, {}),
+    "cnn2": (WACNN2, {}),
+    "oj_ICM": (FasterRCNN_Coding, {}),
+    "seg_oj_ICM": (MaskedRCNN_FasterRCNN_Coding, {}),
 }
 
 
