@@ -28,11 +28,17 @@ from .icm import (
     SymmetricalTransFormer7,
     WACNN2,
 )
+from .masked_ctx import ClipEncoder, ClipEncoder3, ClipEncoder4
+from .czigzag import conditionalZigzag
 from .zigzag_coder import ZigzagCharmCoder
 
 models = {
     "cnn": (WACNN, {}),
     "stf": (SymmetricalTransFormer, {}),
+    "stf2": (ClipEncoder, {}),
+    "stf3": (ClipEncoder3, {}),
+    "stf4": (ClipEncoder4, {}),
+    "czigzag": (conditionalZigzag, {}),
     "stf5": (ZigzagSwinCodec, STF5_CONFIG),
     "stf6": (ZigzagSwinCodec, STF6_CONFIG),
     "stf6_2": (ZigzagSwinCodec, STF6_CONFIG),  # reference stf6_2 == stf6

@@ -1,0 +1,405 @@
+"""Masked-transformer / attention context codecs: stf2, stf3, stf4.
+
+Behavioral parity:
+  - stf3 ``ClipEncoder3`` (reference stf3.py:621-1316): one-shot
+    teacher-forced masked-transformer context. ``y_hat = ste_round(y)``
+    (no mean centering, stf3.py:976); token sequence = windowed 3-D zigzag
+    (window 8, 8 channel slices); context input = [hyper tokens, y_hat
+    tokens] concatenated along the sequence; 5 attention+MLP blocks
+    (``maskedContextModel``, stf3.py:565-618); outputs shifted by one
+    (``[N-1:-1]``) decode to mu/scale; a single global LRP conv stack on
+    cat(y_hat, means, scales) (stf3.py:1124-1127). (The reference feeds
+    the mu context from ``latent_scales`` and vice versa via swapped
+    variable names, stf3.py:995-996 — symmetric under training; this
+    rebuild uses the straightforward pairing.)
+  - stf4 ``ClipEncoder4`` (reference stf4.py:582-1379): masked
+    transformer output + causal sliding windows of 27 (=3^3) previous
+    context tokens and 27 hyper tokens, fused by shared conv heads into
+    mu/scale in one shot (stf4.py:1052-1086). (The reference computes
+    scale with ``cc_mean_transforms`` — stf4.py:1082, a slip; the scale
+    head is used here.)
+  - stf2 ``ClipEncoder`` (reference stf2.py:559-1465): autoregressive
+    window-token coding: per step, un-masked self-attention
+    (``Mask3dAttention`` — qkv + softmax only, stf2.py:129-213) over
+    [num_sliding hyper tokens, num_sliding previously-decoded tokens]
+    produces the context; conv heads map it to mu/scale; LRP per token.
+
+All tokens are NHWC window blocks; zigzag orders are the static index
+maps from ``icm_tpu/scan``; the stf4 sliding windows are a single static
+gather instead of the reference's nn.Unfold.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import EntropyBottleneck, GaussianConditional
+from ..nn.layers import conv
+from ..ops import ste_round
+from ..scan import zigzag_merge, zigzag_split
+from .base import CompressionModel
+from .stf import (
+    _HyperDecoderSTF,
+    _HyperEncoderSTF,
+    _SwinAnalysis,
+    _SwinSynthesis,
+)
+
+
+class PlainAttention(nn.Module):
+    """Un-masked single/multi-head self-attention with only a qkv
+    projection (reference ``Mask3dAttention``, stf2.py:129-213 — mask,
+    bias table and output projection are all disabled there)."""
+
+    dim: int
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        nh = self.num_heads
+        hd = C // nh
+        qkv = nn.Dense(C * 3, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q * hd ** -0.5, k), axis=-1
+        )
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        return out.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+class MaskedContextModel(nn.Module):
+    """5 x (attention + LayerNorm/MLP residual) (reference stf3.py:565-618)."""
+
+    dim: int
+    depth: int = 5
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth):
+            x = PlainAttention(self.dim, self.num_heads, name=f"attn{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5)(x)
+            h = nn.Dense(2 * self.dim)(h)
+            h = jax.nn.gelu(h)
+            x = x + nn.Dense(self.dim)(h)
+        return x
+
+
+class _GlobalLRP(nn.Module):
+    """Global LRP conv stack on cat(y_hat, means, scales)
+    (reference stf3.py:775-784)."""
+
+    latent_dim: int = 384
+
+    @nn.compact
+    def __call__(self, x):
+        M = self.latent_dim
+        for w in (2 * M, M, M):
+            x = conv(w, kernel_size=3, stride=1)(x)
+            x = jax.nn.gelu(x)
+        return conv(M, kernel_size=3, stride=1)(x)
+
+
+def _pad_to_windows(t, ws: int):
+    B, H, W, C = t.shape
+    pad_b = (ws - H % ws) % ws
+    pad_r = (ws - W % ws) % ws
+    if pad_b or pad_r:
+        t = jnp.pad(t, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    return t, (H + pad_b) // ws, (W + pad_r) // ws, pad_b, pad_r
+
+
+class _MaskedBase(CompressionModel):
+    """Shared transform/hyper scaffolding for stf2/3/4."""
+
+    embed_dim: int = 48
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 4
+    patch_size: int = 2
+    drop_path_rate: float = 0.2
+    num_slices: int = 8
+    mask_win_size: int = 8
+    hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
+    hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
+
+    @property
+    def latent_dim(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+    @property
+    def slice_ch(self) -> int:
+        return self.latent_dim // self.num_slices
+
+    @property
+    def token_dim(self) -> int:
+        return self.mask_win_size ** 2 * self.slice_ch
+
+    def _setup_transforms(self):
+        self.g_a = _SwinAnalysis(
+            self.embed_dim, self.depths, self.num_heads,
+            self.window_size, self.patch_size, self.drop_path_rate,
+        )
+        self.g_s = _SwinSynthesis(
+            self.embed_dim, tuple(reversed(self.depths)),
+            tuple(reversed(self.num_heads)), self.window_size,
+            self.patch_size, self.drop_path_rate,
+        )
+        self.h_a = _HyperEncoderSTF(self.hyper_enc_widths)
+        self.h_mean_s = _HyperDecoderSTF(self.hyper_dec_widths)
+        self.h_scale_s = _HyperDecoderSTF(self.hyper_dec_widths)
+        self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
+        self.gaussian_conditional = GaussianConditional()
+
+    def _window_tokens(self, t, nH, nW):
+        """(B, Hp, Wp, C) -> blocks (B, N, ws, ws, C') in zigzag order."""
+        return zigzag_split(t, self.num_slices, nH, nW, True)
+
+    def _tokens_flat(self, zz):
+        B, N, h, w, c = zz.shape
+        return zz.reshape(B, N, h * w * c)
+
+    def _unflatten(self, tokens, nH, nW):
+        B, N, D = tokens.shape
+        ws = self.mask_win_size
+        return tokens.reshape(B, N, ws, ws, self.slice_ch)
+
+    def _merge(self, zz, nH, nW):
+        return zigzag_merge(zz, self.num_slices, nH, nW, True)
+
+    def _hyper(self, y, training):
+        z = self.h_a(y)
+        _, z_lik = self.entropy_bottleneck(z, training=training)
+        z_off = self.entropy_bottleneck.medians()[:, 0, 0]
+        z_hat = ste_round(z - z_off) + z_off
+        return self.h_mean_s(z_hat), self.h_scale_s(z_hat), z_lik
+
+
+class ClipEncoder3(_MaskedBase):
+    """stf3: one-shot teacher-forced masked transformer context."""
+
+    def setup(self):
+        self._setup_transforms()
+        D = self.token_dim
+        self.ctx_mu = MaskedContextModel(D, name="maskedContextModel_mu")
+        self.ctx_sigma = MaskedContextModel(D, name="maskedContextModel_sigma")
+        self.lrp = _GlobalLRP(self.latent_dim)
+
+    def __call__(self, x, training: bool = True):
+        ws = self.mask_win_size
+        y = self.g_a(x, deterministic=not training)
+        means, scales, z_lik = self._hyper(y, training)
+        y_hat = ste_round(y)
+
+        yp, nH, nW, pad_b, pad_r = _pad_to_windows(y_hat, ws)
+        mp, _, _, _, _ = _pad_to_windows(means, ws)
+        sp, _, _, _, _ = _pad_to_windows(scales, ws)
+
+        y_tok = self._tokens_flat(self._window_tokens(yp, nH, nW))
+        m_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
+        s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        N = y_tok.shape[1]
+
+        mu_seq = self.ctx_mu(jnp.concatenate([m_tok, y_tok], axis=1))
+        sc_seq = self.ctx_sigma(jnp.concatenate([s_tok, y_tok], axis=1))
+        # teacher-forced shift: output N-1+i predicts slice i (stf3.py:1004)
+        mu = self._merge(self._unflatten(mu_seq[:, N - 1 : -1], nH, nW), nH, nW)
+        scale = self._merge(self._unflatten(sc_seq[:, N - 1 : -1], nH, nW), nH, nW)
+        H, W = y.shape[1:3]
+        mu = mu[:, :H, :W]
+        scale = scale[:, :H, :W]
+
+        _, y_lik = self.gaussian_conditional(y_hat, scale, mu, training=training)
+        lrp = self.lrp(jnp.concatenate([y_hat, means, scales], axis=-1))
+        y_hat = y_hat + 0.5 * jnp.tanh(lrp)
+
+        x_hat = self.g_s(y_hat, deterministic=not training)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_lik, "z": z_lik},
+        }
+
+
+def _causal_windows(tokens, window: int, include_current: bool):
+    """(B, N, D) -> (B, N, window, D): for each i the previous ``window``
+    tokens ([i-w, i) or [i-w+1, i]), zero-padded at the front. Static
+    gather — the TPU-native version of the reference's nn.Unfold sliding
+    windows (stf4.py:1058-1071)."""
+    B, N, D = tokens.shape
+    pad = window if not include_current else window - 1
+    padded = jnp.pad(tokens, ((0, 0), (pad, 0), (0, 0)))
+    base = np.arange(N)[:, None] + np.arange(window)[None, :]
+    idx = jnp.asarray(base)  # window i covers padded [i, i+window)
+    return padded[:, idx]  # (B, N, window, D)
+
+
+class ClipEncoder4(_MaskedBase):
+    """stf4: masked transformer + causal sliding-window conv fusion."""
+
+    num_slices: int = 8
+    mask_win_size: int = 4
+    sliding: int = 27  # 3^3 (stf4.py:1056)
+
+    def setup(self):
+        self._setup_transforms()
+        self.ctx_mu = MaskedContextModel(
+            self.token_dim, depth=1, num_heads=2, name="maskedContextModel_mu"
+        )
+        self.lrp = _GlobalLRP(self.latent_dim)
+
+    @nn.compact
+    def __call__(self, x, training: bool = True):
+        ws = self.mask_win_size
+        Cp = self.slice_ch
+        w = self.sliding
+        y = self.g_a(x, deterministic=not training)
+        means, scales, z_lik = self._hyper(y, training)
+        y_hat = ste_round(y)
+
+        yp, nH, nW, pad_b, pad_r = _pad_to_windows(y_hat, ws)
+        mp, _, _, _, _ = _pad_to_windows(means, ws)
+        sp, _, _, _, _ = _pad_to_windows(scales, ws)
+        y_tok = self._tokens_flat(self._window_tokens(yp, nH, nW))
+        m_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
+        s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        B, N, D = y_tok.shape
+
+        ctx = self.ctx_mu(y_tok)  # (B, N, D)
+        ctx_w = _causal_windows(ctx, w, include_current=False)
+        m_w = _causal_windows(m_tok, w, include_current=True)
+        s_w = _causal_windows(s_tok, w, include_current=True)
+
+        def fuse(a, b, name):
+            # (B, N, w, D) x2 -> (B*N, ws, ws, 2*w*Cp) -> conv head
+            h = jnp.concatenate([a, b], axis=2).reshape(
+                B * N, 2 * w, ws, ws, Cp
+            )
+            h = h.transpose(0, 2, 3, 1, 4).reshape(B * N, ws, ws, 2 * w * Cp)
+            for mult in (w, 15, 8):
+                h = conv(mult * Cp, kernel_size=3, stride=1)(h)
+                h = jax.nn.gelu(h)
+            h = conv(Cp, kernel_size=3, stride=1)(h)
+            return h.reshape(B, N, ws, ws, Cp)
+
+        mu = self._merge(fuse(ctx_w, m_w, "mu"), nH, nW)
+        scale = self._merge(fuse(ctx_w, s_w, "scale"), nH, nW)
+        H, W = y.shape[1:3]
+        mu = mu[:, :H, :W]
+        scale = scale[:, :H, :W]
+
+        _, y_lik = self.gaussian_conditional(y_hat, scale, mu, training=training)
+        lrp = self.lrp(jnp.concatenate([y_hat, means, scales], axis=-1))
+        y_hat = y_hat + 0.5 * jnp.tanh(lrp)
+        x_hat = self.g_s(y_hat, deterministic=not training)
+        return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}
+
+
+class _ConvHead(nn.Module):
+    """Shared conv head (absolute widths; GELU between, none after last)."""
+
+    widths: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, h):
+        for i, w in enumerate(self.widths):
+            h = conv(w, kernel_size=3, stride=1)(h)
+            if i < len(self.widths) - 1:
+                h = jax.nn.gelu(h)
+        return h
+
+
+class ClipEncoder(_MaskedBase):
+    """stf2: autoregressive attention context over window tokens."""
+
+    num_slices: int = 4
+    mask_win_size: int = 8
+    num_sliding: int = 6
+    num_stride_sliding: int = 1
+
+    def setup(self):
+        self._setup_transforms()
+        D = self.token_dim
+        Cp = self.slice_ch
+        s = self.num_sliding
+        stride = self.num_stride_sliding
+        self.mu_ctx = PlainAttention(D, 1, name="muContextModel")
+        self.sigma_ctx = PlainAttention(D, 1, name="sigmaContextModel")
+        # shared conv heads (reference stf2.py:691-717 widths)
+        self.cc_mean_head = _ConvHead((s * Cp, 15 * Cp, 8 * Cp, stride * Cp))
+        self.cc_scale_head = _ConvHead((s * Cp, 15 * Cp, 8 * Cp, stride * Cp))
+        self.lrp_head = _ConvHead((s * Cp, 15 * Cp, 8 * Cp, stride * Cp))
+
+    def __call__(self, x, training: bool = True):
+        ws = self.mask_win_size
+        Cp = self.slice_ch
+        s = self.num_sliding
+        assert self.num_stride_sliding == 1, "stride > 1 not supported yet"
+        y = self.g_a(x, deterministic=not training)
+        means, scales, z_lik = self._hyper(y, training)
+
+        yp, nH, nW, pad_b, pad_r = _pad_to_windows(y, ws)
+        mp, _, _, _, _ = _pad_to_windows(means, ws)
+        sp, _, _, _, _ = _pad_to_windows(scales, ws)
+        y_tok = self._tokens_flat(self._window_tokens(yp, nH, nW))
+        m_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
+        s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        B, N, D = y_tok.shape
+
+        m_win = _causal_windows(m_tok, s, include_current=True)  # (B,N,s,D)
+        s_win = _causal_windows(s_tok, s, include_current=True)
+
+        def to_spatial(tokens):
+            # (B, k, D) -> (B, ws, ws, k*Cp)
+            k = tokens.shape[1]
+            h = tokens.reshape(B, k, ws, ws, Cp)
+            return h.transpose(0, 2, 3, 1, 4).reshape(B, ws, ws, k * Cp)
+
+        y_hat_toks = []
+        y_liks = []
+        for i in range(N):
+            if i == 0:
+                prev = jnp.zeros((B, s, D), y_tok.dtype)
+            else:
+                have = min(i, s)
+                stack = jnp.concatenate(
+                    [t[:, None] for t in y_hat_toks[-have:]], axis=1
+                )
+                if have < s:
+                    stack = jnp.pad(stack, ((0, 0), (s - have, 0), (0, 0)))
+                prev = stack
+            ctx_mu = self.mu_ctx(jnp.concatenate([m_win[:, i], prev], axis=1))
+            ctx_sigma = self.sigma_ctx(
+                jnp.concatenate([s_win[:, i], prev], axis=1)
+            )
+            mu = self.cc_mean_head(to_spatial(ctx_mu))
+            scale = self.cc_scale_head(to_spatial(ctx_sigma))
+
+            y_slice = y_tok[:, i].reshape(B, ws, ws, Cp)
+            _, lik = self.gaussian_conditional(
+                y_slice, scale, mu, training=training
+            )
+            y_liks.append(lik)
+            y_hat_slice = ste_round(y_slice - mu) + mu
+
+            lrp_in = jnp.concatenate([to_spatial(ctx_mu), y_hat_slice], axis=-1)
+            lrp = self.lrp_head(lrp_in)
+            y_hat_slice = y_hat_slice + 0.5 * jnp.tanh(lrp)
+            y_hat_toks.append(y_hat_slice.reshape(B, D))
+
+        zz = jnp.stack(
+            [t.reshape(B, ws, ws, Cp) for t in y_hat_toks], axis=1
+        )
+        y_hat = self._merge(zz, nH, nW)
+        H, W = y.shape[1:3]
+        y_hat = y_hat[:, :H, :W]
+        y_lik = jnp.concatenate(y_liks, axis=-1)
+
+        x_hat = self.g_s(y_hat, deterministic=not training)
+        return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}

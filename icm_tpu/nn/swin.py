@@ -206,3 +206,142 @@ class PatchEmbed(nn.Module):
         if self.use_norm:
             x = nn.LayerNorm(epsilon=1e-5)(x)
         return x
+
+
+class CrossWindowAttention(nn.Module):
+    """W-MSA with q from x and k/v from a context map (reference
+    ``WindowAttention_context``, czigzag.py:123-197): separate q and kv
+    projections, same relative position bias as self-attention."""
+
+    dim: int
+    window_size: tuple
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, context, mask=None):
+        from .layers import relative_position_index
+
+        B_, N, C = x.shape
+        nh = self.num_heads
+        hd = C // nh
+        q = nn.Dense(C, use_bias=self.qkv_bias, name="q")(x)
+        kv = nn.Dense(2 * C, use_bias=self.qkv_bias, name="kv")(context)
+        q = q.reshape(B_, N, nh, hd).transpose(0, 2, 1, 3)
+        kv = kv.reshape(B_, N, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * hd ** -0.5, k)
+        wh, ww = self.window_size
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wh - 1) * (2 * ww - 1), nh),
+        )
+        idx = relative_position_index(wh, ww).reshape(-1)
+        bias = table[idx].reshape(N, N, nh).transpose(2, 0, 1)
+        attn = attn + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, nh, N, N) + jnp.asarray(
+                mask, attn.dtype
+            )[None, :, None]
+            attn = attn.reshape(B_, nh, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+class SwinBlockCross(nn.Module):
+    """Swin block with cross-window-attention conditioning (reference
+    czigzag.py:200-288): x and context are shifted/partitioned together;
+    q comes from x, k/v from context."""
+
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, context, deterministic: bool = True):
+        from .layers import window_partition, window_reverse, shifted_window_mask
+
+        B, H, W, C = x.shape
+        ws, ss = self.window_size, self.shift_size
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5)(x)
+        context = nn.LayerNorm(epsilon=1e-5)(context)
+
+        pad_b = (ws - H % ws) % ws
+        pad_r = (ws - W % ws) % ws
+        if pad_b or pad_r:
+            pads = ((0, 0), (0, pad_b), (0, pad_r), (0, 0))
+            x = jnp.pad(x, pads)
+            context = jnp.pad(context, pads)
+        Hp, Wp = H + pad_b, W + pad_r
+
+        if ss > 0:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+            context = jnp.roll(context, shift=(-ss, -ss), axis=(1, 2))
+            mask = shifted_window_mask(Hp, Wp, ws, ss)
+        else:
+            mask = None
+
+        xw = window_partition(x, ws).reshape(-1, ws * ws, C)
+        cw = window_partition(context, ws).reshape(-1, ws * ws, C)
+        attn = CrossWindowAttention(
+            dim=C, window_size=(ws, ws), num_heads=self.num_heads, name="attn"
+        )(xw, cw, mask=mask)
+        x = window_reverse(attn.reshape(-1, ws, ws, C), ws, Hp, Wp)
+
+        if ss > 0:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :H, :W, :]
+
+        dp = DropPath(self.drop_path)
+        x = shortcut + dp(x, deterministic)
+        y = Mlp(int(C * self.mlp_ratio), C, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5)(x)
+        )
+        return x + dp(y, deterministic)
+
+
+class BasicLayerCross(nn.Module):
+    """Stack of cross-conditioned Swin blocks + optional down/upsample of
+    x (context stays at the input resolution for all blocks in the stack,
+    as in the reference czigzag BasicLayer)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path: Sequence[float] | float = 0.0
+    downsample: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, context, deterministic: bool = True):
+        for i in range(self.depth):
+            dp = (
+                self.drop_path[i]
+                if isinstance(self.drop_path, (list, tuple))
+                else self.drop_path
+            )
+            x = SwinBlockCross(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio,
+                drop_path=dp,
+                name=f"block{i}",
+            )(x, context, deterministic)
+        if self.downsample == "merge":
+            x = PatchMerging(self.dim, name="downsample")(x)
+        elif self.downsample == "split":
+            x = PatchSplit(self.dim, name="downsample")(x)
+        return x

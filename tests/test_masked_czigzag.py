@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icm_tpu.models import create_model
+
+TINY_SWIN = dict(
+    embed_dim=8,
+    depths=(1, 1, 1, 1),
+    num_heads=(1, 2, 4, 8),
+    window_size=4,
+    patch_size=2,
+    drop_path_rate=0.0,
+    hyper_enc_widths=(64, 56, 48, 40, 32),
+    hyper_dec_widths=(40, 48, 56, 64, 64),
+)
+
+
+def _init(model, *args):
+    return model.init(
+        {
+            "params": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2),
+            "dropout": jax.random.PRNGKey(3),
+        },
+        *args,
+    )
+
+
+def _check(out, x):
+    assert out["x_hat"].shape == x.shape
+    assert np.isfinite(np.asarray(out["x_hat"])).all()
+    for k in ("y", "z"):
+        assert np.all(np.asarray(out["likelihoods"][k]) > 0)
+
+
+def test_stf3_masked_transformer():
+    # latent 4x4 @ 64ch; mask window 4 -> 1x1 lattice x 4 slices = 4 tokens
+    m = create_model("stf3", **TINY_SWIN, num_slices=4, mask_win_size=4)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = _init(m, x)
+    _check(m.apply(v, x, training=False), x)
+
+
+def test_stf4_sliding_masked_transformer():
+    m = create_model("stf4", **TINY_SWIN, num_slices=4, mask_win_size=2, sliding=5)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = _init(m, x)
+    _check(m.apply(v, x, training=False), x)
+
+
+def test_stf2_ar_attention():
+    m = create_model(
+        "stf2", **TINY_SWIN, num_slices=2, mask_win_size=2, num_sliding=3
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = _init(m, x)
+    out = m.apply(v, x, training=False)
+    _check(out, x)
+    # 2 slices x 2x2 windows = 8 AR tokens -> y likelihood covers latent
+    assert np.prod(out["likelihoods"]["y"].shape) == 4 * 4 * 64
+
+
+def test_czigzag_conditional():
+    m = create_model(
+        "czigzag",
+        embed_dim=8,
+        depths=(1, 1, 1, 1),
+        num_heads=(1, 2, 4, 8),
+        window_size=4,
+        patch_size=2,
+        drop_path_rate=0.0,
+        num_slices=2,
+        max_support=3,
+        support_num=3,
+        hyper_depths=(1, 1),
+        cc_widths=(24, 16),
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    up = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    v = _init(m, x, up)
+    out = m.apply(v, x, up, training=False)
+    _check(out, x)
+    # conditioning matters: different context changes the likelihoods
+    out2 = m.apply(v, x, jnp.zeros_like(up), training=False)
+    assert not np.allclose(
+        np.asarray(out["likelihoods"]["y"]), np.asarray(out2["likelihoods"]["y"])
+    )
