@@ -21,11 +21,27 @@ import jax
 import optax
 
 
-def _label_params(params) -> Any:
-    """'aux' for quantile leaves, 'main' for everything else."""
+def _path_names(path):
+    return [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+
+
+def _label_params(params, freeze_patterns=(), train_patterns=None) -> Any:
+    """'aux' for quantile leaves, 'frozen' for frozen subtrees, 'main'
+    otherwise. ``train_patterns`` (if given) freezes everything whose path
+    does NOT contain one of the substrings — the reference's selective
+    training (e.g. TrainList=['promot','student'],
+    train_segmentation.py:121; 'seg' in train_seg_oj.py:149).
+    ``freeze_patterns`` always freezes matches (e.g. 'task_net')."""
 
     def label(path, _):
-        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        names = _path_names(path)
+        joined = "/".join(names)
+        if any(pat in joined for pat in freeze_patterns):
+            return "frozen"
+        if train_patterns is not None and not any(
+            pat in joined for pat in train_patterns
+        ):
+            return "frozen"
         return "aux" if any(n == "quantiles" for n in names) else "main"
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -35,13 +51,21 @@ def make_optimizer(
     learning_rate: float = 1e-4,
     aux_learning_rate: float = 1e-3,
     clip_max_norm: float = 1.0,
+    freeze_patterns=(),
+    train_patterns=None,
 ) -> optax.GradientTransformation:
     main = optax.chain(
         optax.clip_by_global_norm(clip_max_norm) if clip_max_norm else optax.identity(),
         optax.adam(learning_rate),
     )
     aux = optax.adam(aux_learning_rate)
-    return optax.multi_transform({"main": main, "aux": aux}, _label_params)
+
+    def labeler(params):
+        return _label_params(params, tuple(freeze_patterns), train_patterns)
+
+    return optax.multi_transform(
+        {"main": main, "aux": aux, "frozen": optax.set_to_zero()}, labeler
+    )
 
 
 class TrainState(flax.struct.PyTreeNode):

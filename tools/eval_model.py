@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Model evaluation harness (reference
+``compressai/utils/eval_model/__main__.py``): three modes switched on the
+architecture/task —
+
+  image      : bpp + PSNR + MS-SSIM per image, real coder
+               (compress/decompress, images padded to x64 like the
+               reference, __main__.py:96-139) or entropy estimation
+               (--entropy-estimation, __main__.py:142-247)
+  detection  : run the codec, decode detections from the reconstruction
+               with the RetinaNet head, COCO-protocol bbox mAP
+               (__main__.py:256-381)
+  segmentation: DeepLab student output vs masks -> mIoU/pixAcc
+               (__main__.py:383-440)
+
+Example:
+  python tools/eval_model.py image -m cnn -d /data/kodak --checkpoint ckpt
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools._common import model_kwargs  # noqa: E402
+
+
+def parse_args(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("task", choices=["image", "detection", "segmentation"])
+    p.add_argument("-m", "--model", default="cnn")
+    p.add_argument("-d", "--dataset", required=True)
+    p.add_argument("--split", default="val2017")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--entropy-estimation", action="store_true")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--model-kwargs", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_model_and_params(args, example):
+    import jax
+
+    from icm_tpu.models import create_model
+    from icm_tpu.train import load_checkpoint
+
+    model = create_model(args.model, **model_kwargs(args))
+    rngs = {
+        "params": jax.random.PRNGKey(args.seed),
+        "noise": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = model.init(rngs, *example)
+    if args.checkpoint:
+        from icm_tpu.train import TrainState, make_optimizer
+
+        state = TrainState.create(variables["params"], make_optimizer())
+        state, _ = load_checkpoint(args.checkpoint, target=state)
+        variables = {"params": state.params}
+        print(f"loaded checkpoint {args.checkpoint}")
+    return model, variables
+
+
+def eval_image(args):
+    import jax
+    import jax.numpy as jnp
+
+    from icm_tpu.data import ImageFolder
+    from icm_tpu.data.transforms import pad_to_multiple
+    from icm_tpu.eval import ms_ssim, psnr
+    from icm_tpu.train.losses import compute_bpp
+
+    ds = ImageFolder(args.dataset, args.split)
+    first = pad_to_multiple(ds[0], 64)[0][None]
+    model, variables = load_model_and_params(args, (jnp.asarray(first),))
+
+    codec = None
+    if not args.entropy_estimation:
+        from icm_tpu.models import CharmCodec
+
+        try:
+            codec = CharmCodec(model, variables)
+        except Exception as e:  # models without a charm coder path
+            print(f"real coder unavailable for {args.model} ({e}); "
+                  "falling back to entropy estimation")
+
+    results = []
+    n = min(len(ds), args.max_images or len(ds))
+    for i in range(n):
+        img = ds[i]
+        padded, (H, W) = pad_to_multiple(img, 64)
+        x = jnp.asarray(padded[None])
+        num_pixels = H * W
+        if codec is not None:
+            t0 = time.time()
+            enc = codec.compress(x)
+            t_enc = time.time() - t0
+            t0 = time.time()
+            dec = codec.decompress(enc["strings"], enc["shape"])
+            t_dec = time.time() - t0
+            bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
+            bpp = bits / num_pixels
+            x_hat = dec["x_hat"]
+        else:
+            out = model.apply({"params": variables["params"]}, x, training=False)
+            bpp = float(compute_bpp(out["likelihoods"], num_pixels))
+            x_hat = jnp.clip(out["x_hat"], 0, 1)
+            t_enc = t_dec = 0.0
+        x_hat = x_hat[:, :H, :W]
+        xc = x[:, :H, :W]
+        r = {
+            "bpp": float(bpp),
+            "psnr": float(psnr(xc, x_hat)),
+            "ms_ssim": float(ms_ssim(xc, x_hat)) if min(H, W) >= 176 else None,
+            "enc_time": t_enc,
+            "dec_time": t_dec,
+        }
+        results.append(r)
+        print(f"[{i + 1}/{n}] " + json.dumps(r))
+
+    agg = {
+        k: float(np.mean([r[k] for r in results if r[k] is not None]))
+        for k in results[0]
+    }
+    print("average:", json.dumps(agg))
+    return agg
+
+
+def eval_detection(args):
+    import jax
+    import jax.numpy as jnp
+
+    from icm_tpu.data import CocoDetectionDataset
+    from icm_tpu.data.transforms import pad_to_multiple
+    from icm_tpu.eval import compute_map
+    from icm_tpu.tasks.retinanet import decode_detections
+
+    ds = CocoDetectionDataset(args.dataset, args.split)
+    s0 = ds[0]
+    x0 = pad_to_multiple(s0["img"], 64)[0][None]
+    model, variables = load_model_and_params(args, (jnp.asarray(x0),))
+
+    dets, gts = {}, {}
+    n = min(len(ds), args.max_images or len(ds))
+    for i in range(n):
+        s = ds[i]
+        padded, (H, W) = pad_to_multiple(s["img"], 64)
+        out = model.apply(
+            {"params": variables["params"]}, jnp.asarray(padded[None]),
+            training=False,
+        )
+        if out.get("Student_classification") is not None:
+            cls = out["Student_classification"]
+            reg = out["Student_regression"]
+            anchors = out["Student_anchors"]
+        else:
+            # codec-only model: run detections are not available
+            raise SystemExit(
+                f"model {args.model} does not produce detection outputs"
+            )
+        scores, labels, boxes = decode_detections(cls, reg, anchors, (H, W))
+        iid = int(s["image_id"])
+        dets[iid] = {
+            "boxes": boxes / s["scale"],
+            "scores": scores,
+            "labels": labels,
+        }
+        a = s["annot"]
+        gts[iid] = {"boxes": a[:, :4] / s["scale"], "labels": a[:, 4]}
+        print(f"[{i + 1}/{n}] {len(scores)} detections")
+
+    res = compute_map(dets, gts)
+    print("mAP:", json.dumps(res))
+    return res
+
+
+def eval_segmentation(args):
+    import jax.numpy as jnp
+
+    from icm_tpu.data import COCOSegmentation
+    from icm_tpu.eval import SegmentationMetric
+
+    ds = COCOSegmentation(args.dataset, split="val")
+    img0, _ = ds[0]
+    model, variables = load_model_and_params(args, (jnp.asarray(img0[None]),))
+
+    metric = SegmentationMetric(ds.NUM_CLASS)
+    n = min(len(ds), args.max_images or len(ds))
+    for i in range(n):
+        img, mask = ds[i]
+        out = model.apply(
+            {"params": variables["params"]}, jnp.asarray(img[None]),
+            training=False,
+        )
+        logits = out.get("Student_output")
+        if logits is None:
+            raise SystemExit(
+                f"model {args.model} does not produce segmentation outputs"
+            )
+        metric.update(np.asarray(logits[0]), mask)
+        pix, miou = metric.get()
+        print(f"[{i + 1}/{n}] pixAcc={pix:.4f} mIoU={miou:.4f}")
+
+    pix, miou = metric.get()
+    print("final:", json.dumps({"pixAcc": pix, "mIoU": miou}))
+    return {"pixAcc": pix, "mIoU": miou}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.task == "image":
+        return eval_image(args)
+    if args.task == "detection":
+        return eval_detection(args)
+    return eval_segmentation(args)
+
+
+if __name__ == "__main__":
+    main()

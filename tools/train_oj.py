@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Detection ICM training (reference ``train_oj.py``): model oj_ICM,
+loss = 1000*MSE + 100*FPN feature distillation + lambda*bpp; the frozen
+R50-FPN task net is excluded from optimization."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools._common import base_parser, image_batch_providers, model_kwargs  # noqa: E402
+
+
+def main(argv=None):
+    args = base_parser(default_model="oj_ICM", default_lmbda=1.0).parse_args(argv)
+
+    from icm_tpu.models import create_model
+    from icm_tpu.train import DetectionICMLoss, make_train_step
+    from icm_tpu.train.engine import run_training
+
+    model = create_model(args.model, **model_kwargs(args))
+    criterion = DetectionICMLoss(args.lmbda)
+    train_batches, eval_batches, init_batch = image_batch_providers(args)
+
+    run_training(
+        model=model,
+        criterion=criterion,
+        make_step=make_train_step,
+        train_batches=train_batches,
+        eval_batches=eval_batches,
+        init_batch=init_batch,
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        aux_learning_rate=args.aux_learning_rate,
+        clip_max_norm=args.clip_max_norm,
+        freeze_patterns=("task_net",),
+        seed=args.seed,
+        save_path=args.save,
+        checkpoint=args.checkpoint,
+    )
+
+
+if __name__ == "__main__":
+    main()
