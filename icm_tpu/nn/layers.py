@@ -49,13 +49,20 @@ def conv1x1(features: int, stride: int = 1) -> nn.Conv:
 
 
 def deconv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.ConvTranspose:
-    """2x learned upsampling; 'SAME' padding gives out = in * stride, the
-    same output geometry as the reference's k5 s2 p2 output_padding=1."""
+    """Learned upsampling, out = in * stride — the exact geometry of the
+    reference's ``deconv`` (ConvTranspose2d k, s, padding=k//2,
+    output_padding=s-1; reference models/utils.py:124-132): explicit
+    padding (k-1-p, k-1-p+op) keeps the tap alignment identical to torch,
+    so converted checkpoints are numerically exact
+    (see utils/torch_weights.convert_conv_transpose)."""
+    k, s = kernel_size, stride
+    p = k // 2
+    lo, hi = k - 1 - p, k - 1 - p + (s - 1)
     return nn.ConvTranspose(
         features,
-        (kernel_size, kernel_size),
-        strides=(stride, stride),
-        padding="SAME",
+        (k, k),
+        strides=(s, s),
+        padding=((lo, hi), (lo, hi)),
     )
 
 
