@@ -1,5 +1,6 @@
 from .gdn import GDN, GDN1
 from .layers import (
+    set_use_pallas,
     conv,
     deconv,
     conv1x1,
@@ -17,6 +18,7 @@ from .layers import (
 __all__ = [
     "GDN",
     "GDN1",
+    "set_use_pallas",
     "conv",
     "deconv",
     "conv1x1",

@@ -147,10 +147,32 @@ def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int) -> np
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+_USE_PALLAS: Optional[bool] = None
+
+
+def set_use_pallas(value: Optional[bool]):
+    """Force the fused Pallas window-attention kernel on/off; None = auto
+    (on when running on TPU)."""
+    global _USE_PALLAS
+    _USE_PALLAS = value
+
+
+def _pallas_enabled() -> bool:
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 class WindowAttention(nn.Module):
     """W-MSA over flattened windows with relative position bias.
 
     Input: (num_windows*B, N, C); mask: (nW, N, N) or None.
+    ``mask_cls=(n_cls, cls_per_window, class_mask_array)`` enables the
+    fused Pallas kernel path (see pallas_kernels.py): the SW-MSA mask is
+    folded per window-class into the bias so the whole attention runs in
+    VMEM.
     """
 
     dim: int
@@ -160,17 +182,13 @@ class WindowAttention(nn.Module):
     qk_scale: Optional[float] = None
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, mask_cls=None):
         B_, N, C = x.shape
         nh = self.num_heads
         head_dim = C // nh
         scale = self.qk_scale or head_dim ** -0.5
 
         qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
 
         wh, ww = self.window_size
         table = self.param(
@@ -179,7 +197,28 @@ class WindowAttention(nn.Module):
             ((2 * wh - 1) * (2 * ww - 1), nh),
         )
         idx = relative_position_index(wh, ww).reshape(-1)
-        bias = table[idx].reshape(N, N, nh).transpose(2, 0, 1)
+        bias = table[idx].reshape(N, N, nh).transpose(2, 0, 1)  # (nh, N, N)
+
+        if mask_cls is not None and _pallas_enabled() and self.qk_scale is None:
+            from .pallas_kernels import window_attention_fused
+
+            n_cls, cls_per_window, cls_masks = mask_cls
+            nW = cls_per_window.shape[0]
+            B = B_ // nW
+            qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, D)
+            bias_cls = bias[None] + jnp.asarray(cls_masks, bias.dtype)[
+                :, None
+            ]  # (n_cls, nh, N, N)
+            cls_idx = jnp.tile(jnp.asarray(cls_per_window, jnp.int32), (B,))
+            out = window_attention_fused(q, k, v, bias_cls, cls_idx)
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            return nn.Dense(C, name="proj")(out)
+
+        qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
         attn = attn + bias[None].astype(attn.dtype)
 
         if mask is not None:
@@ -216,10 +255,15 @@ class WinBasedAttention(nn.Module):
         if ss > 0:
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
 
+        from .pallas_kernels import class_masks, window_class_map
+
+        n_cls, cls_per_window = window_class_map(H, W, ws, ss)
+        mask_cls = (n_cls, cls_per_window, class_masks(H, W, ws, ss))
+
         xw = window_partition(x, ws).reshape(-1, ws * ws, C)
         attn = WindowAttention(
             dim=C, window_size=(ws, ws), num_heads=self.num_heads, name="attn"
-        )(xw, mask=mask)
+        )(xw, mask=mask, mask_cls=mask_cls)
         x = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
 
         if ss > 0:

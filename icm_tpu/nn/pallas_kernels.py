@@ -1,0 +1,132 @@
+"""Pallas TPU kernels for the hot ops.
+
+Fused window attention: the codecs' dominant non-conv compute is W-MSA
+over thousands of small windows (16 or 64 tokens). The jnp path
+materializes the (windows, heads, N, N) attention tensor in HBM twice
+(write after QK^T, read for the PV matmul). This kernel computes
+softmax(QK^T * scale + bias_cls) V for a tile of windows entirely in
+VMEM — one HBM read of q/k/v, one HBM write of the output.
+
+Masking: the SW-MSA mask of a shifted window depends only on the window's
+position class (interior / right edge / bottom edge / corner = up to 9
+distinct patterns for 2-D shifts). The caller folds relative-position
+bias + mask into a per-class additive tensor ``bias (n_cls, heads, N, N)``
+and passes an int32 class id per window (prefetched to SMEM), so the
+kernel gathers one small VMEM block instead of streaming per-window masks
+from HBM.
+
+Falls back to the jnp implementation off-TPU (interpret mode covers
+tests; `window_attention_fused(..., interpret=True)`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(cls_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    # q/k/v: (T, H, N, D); bias: (n_cls, H, N, N); cls_ref: SMEM (W,)
+    T = q_ref.shape[0]
+    base = pl.program_id(0) * T
+
+    def body(t, _):
+        q = q_ref[t]  # (H, N, D)
+        k = k_ref[t]
+        v = v_ref[t]
+        attn = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (H, N, N)
+        c = cls_ref[base + t]
+        attn = attn + bias_ref[c]
+        attn = jax.nn.softmax(attn, axis=-1)
+        o_ref[t] = jax.lax.dot_general(
+            attn.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+
+
+def window_attention_fused(
+    q, k, v, bias, cls_idx, *, tile: int = 8, interpret: bool = False
+):
+    """q, k, v: (W, H, N, D); bias: (n_cls, H, N, N) (relative-position
+    bias with the SW-MSA mask already folded in); cls_idx: (W,) int32
+    class per window. Returns (W, H, N, D)."""
+    W, H, N, D = q.shape
+    scale = D ** -0.5
+    T = min(tile, W)
+    while W % T:
+        T -= 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(W // T,),
+        in_specs=[
+            pl.BlockSpec((T, H, N, D), lambda i, c: (i, 0, 0, 0)),
+            pl.BlockSpec((T, H, N, D), lambda i, c: (i, 0, 0, 0)),
+            pl.BlockSpec((T, H, N, D), lambda i, c: (i, 0, 0, 0)),
+            pl.BlockSpec(bias.shape, lambda i, c: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, H, N, D), lambda i, c: (i, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((W, H, N, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(cls_idx, q, k, v, bias)
+
+
+def window_attention_reference(q, k, v, bias, cls_idx):
+    """jnp reference with identical semantics (used off-TPU and in tests)."""
+    scale = q.shape[-1] ** -0.5
+    attn = jnp.einsum("whnd,whmd->whnm", q * scale, k)
+    attn = attn + bias[cls_idx]
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("whnm,whmd->whnd", attn, v)
+
+
+@functools.lru_cache(maxsize=64)
+def window_class_map(H: int, W: int, window_size: int, shift_size: int):
+    """(n_cls, class-per-window) for the shifted-window mask structure:
+    class = (row-class, col-class) where the last window row/col (which
+    wraps after the cyclic shift) differs from the interior."""
+    nH, nW = H // window_size, W // window_size
+    if shift_size == 0:
+        return 1, np.zeros(nH * nW, np.int32)
+    row_cls = np.zeros(nH, np.int32)
+    row_cls[-1] = 1
+    col_cls = np.zeros(nW, np.int32)
+    col_cls[-1] = 1
+    cls = row_cls[:, None] * 2 + col_cls[None, :]
+    return 4, cls.reshape(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def class_masks(H: int, W: int, window_size: int, shift_size: int):
+    """(n_cls, N, N) additive masks per window class (matches
+    layers.shifted_window_mask per-window rows, deduplicated by class)."""
+    from .layers import shifted_window_mask
+
+    n_cls, cls = window_class_map(H, W, window_size, shift_size)
+    N = window_size * window_size
+    if shift_size == 0:
+        return np.zeros((1, N, N), np.float32)
+    full = shifted_window_mask(H, W, window_size, shift_size)  # (nW, N, N)
+    out = np.zeros((n_cls, N, N), np.float32)
+    for c in range(n_cls):
+        idx = np.nonzero(cls == c)[0]
+        if len(idx):
+            out[c] = full[idx[0]]
+    return out

@@ -102,10 +102,15 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
+        from .pallas_kernels import class_masks, window_class_map
+
+        n_cls, cls_per_window = window_class_map(Hp, Wp, ws, ss)
+        mask_cls = (n_cls, cls_per_window, class_masks(Hp, Wp, ws, ss))
+
         xw = window_partition(x, ws).reshape(-1, ws * ws, C)
         attn = WindowAttention(
             dim=C, window_size=(ws, ws), num_heads=self.num_heads, name="attn"
-        )(xw, mask=mask)
+        )(xw, mask=mask, mask_cls=mask_cls)
         x = window_reverse(attn.reshape(-1, ws, ws, C), ws, Hp, Wp)
 
         if ss > 0:

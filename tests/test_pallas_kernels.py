@@ -1,0 +1,64 @@
+"""Fused window-attention Pallas kernel: interpret-mode equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icm_tpu.nn.pallas_kernels import (
+    class_masks,
+    window_attention_fused,
+    window_attention_reference,
+    window_class_map,
+)
+
+
+def _rand(shape, key):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("n_cls", [1, 4])
+def test_fused_matches_reference(n_cls):
+    W, H, N, D = 8, 2, 16, 8
+    q, k, v = _rand((W, H, N, D), 0), _rand((W, H, N, D), 1), _rand((W, H, N, D), 2)
+    bias = _rand((n_cls, H, N, N), 3)
+    cls_idx = jnp.asarray(np.arange(W) % n_cls, jnp.int32)
+
+    ref = window_attention_reference(q, k, v, bias, cls_idx)
+    out = window_attention_fused(q, k, v, bias, cls_idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_class_masks_match_full_masks():
+    """Folded per-class masks reproduce the per-window SW-MSA masks."""
+    from icm_tpu.nn.layers import shifted_window_mask
+
+    H = W = 16
+    ws, ss = 4, 2
+    n_cls, cls = window_class_map(H, W, ws, ss)
+    cm = class_masks(H, W, ws, ss)
+    full = shifted_window_mask(H, W, ws, ss)
+    assert n_cls == 4
+    for w in range(full.shape[0]):
+        np.testing.assert_array_equal(cm[cls[w]], full[w])
+
+
+def test_module_fused_path_matches_dense_path():
+    """WinBasedAttention with the pallas path (forced, interpret) equals
+    the jnp path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from icm_tpu.nn import WinBasedAttention, set_use_pallas
+
+    m = WinBasedAttention(dim=8, num_heads=2, window_size=4, shift_size=2)
+    x = _rand((1, 8, 8, 8), 5)
+    v = m.init(jax.random.PRNGKey(0), x)
+    set_use_pallas(False)
+    ref = m.apply(v, x)
+    try:
+        set_use_pallas(True)
+        with pltpu.force_tpu_interpret_mode():
+            out = m.apply(v, x)
+    finally:
+        set_use_pallas(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
