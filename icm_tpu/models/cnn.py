@@ -126,6 +126,52 @@ class _CCTransform(nn.Module):
         return conv(self.out_ch, kernel_size=3, stride=1)(x)
 
 
+class _CharmScanStep(nn.Module):
+    """One AR step of the ChARM loop, run under ``nn.scan`` with stacked
+    per-slice parameters (SURVEY.md §7 "hard parts": per-slice context
+    convs have different input widths — 320 + 32*min(i,5) — so supports
+    are padded to the max width with zeros; the padded weight blocks see
+    only zeros at their step, making the scanned computation exactly equal
+    to the unrolled reference loop while compiling ONCE instead of
+    ``num_slices`` times)."""
+
+    slice_ch: int
+    cc_widths: tuple
+    max_support: int
+    training: bool = True
+
+    @nn.compact
+    def __call__(self, carry, y_slice):
+        means, scales, buf, i = carry
+        mean_support = jnp.concatenate([means, buf], axis=-1)
+        mu = _CCTransform(self.slice_ch, self.cc_widths, name="cc_mean")(
+            mean_support
+        )
+        scale_support = jnp.concatenate([scales, buf], axis=-1)
+        scale = _CCTransform(self.slice_ch, self.cc_widths, name="cc_scale")(
+            scale_support
+        )
+        _, lik = GaussianConditional(name="gc")(
+            y_slice, scale, mu, training=self.training
+        )
+        from ..ops import ste_round
+
+        y_hat = ste_round(y_slice - mu) + mu
+        lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
+        lrp = _CCTransform(self.slice_ch, self.cc_widths, name="lrp")(
+            lrp_support
+        )
+        y_hat = y_hat + 0.5 * jnp.tanh(lrp)
+
+        # prefix support: write slot i while i < max_support, then freeze
+        slot = jnp.minimum(i, self.max_support - 1) * self.slice_ch
+        updated = jax.lax.dynamic_update_slice(
+            buf, y_hat, (0, 0, 0, slot)
+        )
+        buf = jnp.where(i < self.max_support, updated, buf)
+        return (means, scales, buf, i + 1), (y_hat, lik)
+
+
 class WACNN(CompressionModel):
     N: int = 192
     M: int = 320
@@ -134,6 +180,11 @@ class WACNN(CompressionModel):
     hyper_enc_widths: tuple = (320, 288, 256, 224, 192)
     hyper_dec_widths: tuple = (192, 224, 256, 288, 320)
     cc_widths: tuple = (224, 176, 128, 64)
+    # scan_charm=True runs the AR slice loop as ONE lax.scan with stacked
+    # per-slice weights (single compile, no per-slice dispatch) — exactly
+    # equivalent to the unrolled loop; the unrolled path remains the
+    # protocol used by the real-bitstream coder.
+    scan_charm: bool = False
 
     def setup(self):
         self.g_a = _AnalysisCNN(self.N, self.M)
@@ -156,6 +207,50 @@ class WACNN(CompressionModel):
         ]
         self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
         self.gaussian_conditional = GaussianConditional()
+
+    @nn.compact
+    def __call__(self, x, training: bool = True):
+        if not self.scan_charm:
+            return super().__call__(x, training=training)
+
+        from ..ops import ste_round
+
+        y, z = self.analyze(x, training=training)
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+        z_offset = self.eb_medians()
+        z_hat = ste_round(z - z_offset) + z_offset
+        means = self.h_mean_s(z_hat)
+        scales = self.h_scale_s(z_hat)
+
+        B, h, w, M = y.shape
+        S = self.num_slices
+        sc = M // S
+        y_stack = jnp.moveaxis(y.reshape(B, h, w, S, sc), 3, 0)
+        buf = jnp.zeros((B, h, w, self.max_support_slices * sc), y.dtype)
+
+        Scan = nn.scan(
+            _CharmScanStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "noise": True},
+            in_axes=0,
+            out_axes=0,
+            length=S,
+        )
+        _, (y_hat_stack, lik_stack) = Scan(
+            slice_ch=sc,
+            cc_widths=self.cc_widths,
+            max_support=self.max_support_slices,
+            training=training,
+            name="charm_scan",
+        )((means, scales, buf, jnp.int32(0)), y_stack)
+
+        y_hat = jnp.moveaxis(y_hat_stack, 0, 3).reshape(B, h, w, M)
+        y_likelihoods = jnp.moveaxis(lik_stack, 0, 3).reshape(B, h, w, M)
+        x_hat = self.synthesize(y_hat, training=training)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
 
     # --- ChARM protocol (see base.CompressionModel) ------------------------
     def analyze(self, x, training: bool = False):
@@ -194,3 +289,50 @@ class WACNN(CompressionModel):
 
     def ctx_assemble(self, y_hat_slices):
         return jnp.concatenate(y_hat_slices, axis=-1)
+
+
+def stack_charm_params(
+    params: dict,
+    num_slices: int,
+    slice_ch: int,
+    max_support: int,
+    cond_width: int,
+) -> dict:
+    """Build the ``charm_scan`` stacked parameter subtree from unrolled
+    per-slice params (``cc_mean_{i}``/``cc_scale_{i}``/``lrp_{i}``),
+    zero-padding the first conv's input-channel axis to the uniform
+    scanned support width. Used to migrate unrolled (reference-layout)
+    checkpoints into the scanned model; the zero blocks multiply the
+    zero-initialized support slots, so outputs are exactly equal."""
+    import numpy as np
+
+    sup_w_max = max_support * slice_ch
+    out = {}
+    for tag in ("cc_mean", "cc_scale", "lrp"):
+        layers: dict = {}
+        layer_names = list(params[f"{tag}_0"].keys())
+        for ln in layer_names:
+            kernels, biases = [], []
+            for i in range(num_slices):
+                p = params[f"{tag}_{i}"][ln]
+                k = np.asarray(p["kernel"])
+                if ln == "Conv_0":
+                    if tag == "lrp":
+                        sup_w = k.shape[2] - cond_width - slice_ch
+                        target = cond_width + sup_w_max + slice_ch
+                        kn = np.zeros(k.shape[:2] + (target, k.shape[3]), k.dtype)
+                        kn[:, :, : cond_width + sup_w] = k[:, :, : cond_width + sup_w]
+                        kn[:, :, -slice_ch:] = k[:, :, -slice_ch:]
+                    else:
+                        target = cond_width + sup_w_max
+                        kn = np.zeros(k.shape[:2] + (target, k.shape[3]), k.dtype)
+                        kn[:, :, : k.shape[2]] = k
+                    k = kn
+                kernels.append(k)
+                biases.append(np.asarray(p["bias"]))
+            layers[ln] = {
+                "kernel": np.stack(kernels),
+                "bias": np.stack(biases),
+            }
+        out[tag] = layers
+    return {"charm_scan": out}
