@@ -26,7 +26,7 @@ def main():
 
     model = WACNN()  # full-size: N=192, M=320, 10 slices
     x = jax.random.uniform(jax.random.PRNGKey(0), (batch, size, size, 3))
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
     )
     codec = CharmCodec(model, variables)

@@ -152,13 +152,9 @@ class EntropyBottleneck(nn.Module):
         return jnp.abs(logits - target).sum()
 
     # --- table-building support (called under .apply) ----------------------
-    def pmf_data(self):
-        """Compute per-channel pmf rows + metadata for CDF quantization.
-
-        Parity: reference ``EntropyBottleneck.update``
-        (``entropy_models.py:354-393``).
-        Returns (pmf (C, max_len), tail_mass (C,), pmf_length (C,), offset (C,)).
-        """
+    def pmf_meta(self):
+        """Jittable step 1: quantile-derived ranges (reference
+        ``EntropyBottleneck.update``, entropy_models.py:354-374)."""
         q = self.quantiles
         medians = q[:, 0, 1]
         minima = jnp.clip(jnp.ceil(medians - q[:, 0, 0]).astype(jnp.int32), 0)
@@ -166,11 +162,13 @@ class EntropyBottleneck(nn.Module):
         offset = -minima
         pmf_start = medians - minima.astype(medians.dtype)
         pmf_length = maxima + minima + 1
-        max_length = int(jax.device_get(pmf_length.max()))
+        return pmf_start, pmf_length, offset
 
+    def pmf_rows(self, pmf_start, max_length: int):
+        """Jittable step 2 (static max_length): sample the density
+        (reference entropy_models.py:376-388)."""
         samples = jnp.arange(max_length, dtype=jnp.float32)
         samples = samples[None, None, :] + pmf_start[:, None, None]
-
         lower = self._logits_cumulative(samples - 0.5, stop_gradient=True)
         upper = self._logits_cumulative(samples + 0.5, stop_gradient=True)
         sign = -jnp.sign(lower + upper)
@@ -180,6 +178,14 @@ class EntropyBottleneck(nn.Module):
         tail_mass = (
             jax.nn.sigmoid(lower[:, 0, 0]) + jax.nn.sigmoid(-upper[:, 0, -1])
         )
+        return pmf, tail_mass
+
+    def pmf_data(self):
+        """(pmf, tail_mass, pmf_length, offset) — eager convenience
+        combining pmf_meta + pmf_rows."""
+        pmf_start, pmf_length, offset = self.pmf_meta()
+        max_length = int(jax.device_get(pmf_length.max()))
+        pmf, tail_mass = self.pmf_rows(pmf_start, max_length)
         return pmf, tail_mass, pmf_length, offset
 
 

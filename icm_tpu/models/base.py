@@ -108,8 +108,24 @@ class CompressionModel(nn.Module):
     def eb_medians(self):
         return self.entropy_bottleneck.medians()[:, 0, 0]
 
+    def eb_dict(self):
+        """name -> EntropyBottleneck submodule (override in multi-layer
+        models)."""
+        return {"entropy_bottleneck": self.entropy_bottleneck}
+
     def eb_pmf_data(self):
-        return {"entropy_bottleneck": self.entropy_bottleneck.pmf_data()}
+        return {k: m.pmf_data() for k, m in self.eb_dict().items()}
+
+    def eb_pmf_meta(self):
+        """Jittable: {name: (pmf_start, pmf_length, offset)}."""
+        return {k: m.pmf_meta() for k, m in self.eb_dict().items()}
+
+    def eb_pmf_rows(self, starts: dict, max_lengths: dict):
+        """Jittable (static max_lengths): {name: (pmf, tail_mass)}."""
+        return {
+            k: m.pmf_rows(starts[k], max_lengths[k])
+            for k, m in self.eb_dict().items()
+        }
 
 
 def prefix_support(max_support: int):

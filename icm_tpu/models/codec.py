@@ -54,12 +54,24 @@ def build_codec_tables(model, variables, precision: int = 16) -> CodecTables:
     scale_table = get_scale_table()
     gaussian = gc_build_tables(scale_table, precision=precision)
 
-    def _pmf(m):
-        return m.eb_pmf_data()
+    # two jitted device calls (static max_lengths resolved in between) —
+    # eager per-op dispatch here is pathological on remote-TPU links
+    meta = jax.jit(lambda v: model.apply(v, method=model.eb_pmf_meta))(variables)
+    meta = jax.device_get(meta)
+    max_lengths = {k: int(np.asarray(m[1]).max()) for k, m in meta.items()}
+    starts = {k: m[0] for k, m in meta.items()}
+    rows = jax.jit(
+        lambda v, s: model.apply(v, s, max_lengths, method=model.eb_pmf_rows)
+    )(variables, starts)
+    rows = jax.device_get(rows)
 
     bottlenecks = {}
-    for name, data in model.apply(variables, method=_pmf).items():
-        bottlenecks[name] = eb_tables_from_pmf_data(*data, precision=precision)
+    for name in meta:
+        pmf, tail = rows[name]
+        _, pmf_length, offset = meta[name]
+        bottlenecks[name] = eb_tables_from_pmf_data(
+            pmf, tail, pmf_length, offset, precision=precision
+        )
     return CodecTables(
         gaussian=gaussian, scale_table=scale_table, bottlenecks=bottlenecks
     )

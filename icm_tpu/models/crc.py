@@ -231,10 +231,10 @@ class ConditionalResidualCoding(CompressionModel):
             + self.human_hyper.entropy_bottleneck.aux_loss()
         )
 
-    def eb_pmf_data(self):
+    def eb_dict(self):
         return {
-            "entropy_bottleneck": self.machine.coder.entropy_bottleneck.pmf_data(),
-            "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck.pmf_data(),
+            "entropy_bottleneck": self.machine.coder.entropy_bottleneck,
+            "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck,
         }
 
 
@@ -301,10 +301,10 @@ class ResidualCoding(CompressionModel):
             + self.human_hyper.entropy_bottleneck.aux_loss()
         )
 
-    def eb_pmf_data(self):
+    def eb_dict(self):
         return {
-            "entropy_bottleneck": self.machine.coder.entropy_bottleneck.pmf_data(),
-            "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck.pmf_data(),
+            "entropy_bottleneck": self.machine.coder.entropy_bottleneck,
+            "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck,
         }
 
 
@@ -401,10 +401,10 @@ class ConditionalResidualCoding2(CompressionModel):
             + self.human_hyper.entropy_bottleneck.aux_loss()
         )
 
-    def eb_pmf_data(self):
+    def eb_dict(self):
         return {
-            "entropy_bottleneck": self.machine.coder.entropy_bottleneck.pmf_data(),
-            "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck.pmf_data(),
+            "entropy_bottleneck": self.machine.coder.entropy_bottleneck,
+            "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck,
         }
 
 
@@ -565,9 +565,9 @@ class ConditionalResidualCoding3(CompressionModel):
             + self.human_hyper.entropy_bottleneck.aux_loss()
         )
 
-    def eb_pmf_data(self):
+    def eb_dict(self):
         return {
-            "entropy_bottleneck": self.machine.coder.entropy_bottleneck.pmf_data(),
-            "entropy_bottleneck_seg": self.seg_coder.entropy_bottleneck.pmf_data(),
-            "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck.pmf_data(),
+            "entropy_bottleneck": self.machine.coder.entropy_bottleneck,
+            "entropy_bottleneck_seg": self.seg_coder.entropy_bottleneck,
+            "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck,
         }

@@ -114,8 +114,8 @@ class FasterRCNN_Coding(CompressionModel):
     def aux_loss(self):
         return self.coder.entropy_bottleneck.aux_loss()
 
-    def eb_pmf_data(self):
-        return {"entropy_bottleneck": self.coder.entropy_bottleneck.pmf_data()}
+    def eb_dict(self):
+        return {"entropy_bottleneck": self.coder.entropy_bottleneck}
 
 
 class MaskedRCNN_FasterRCNN_Coding(CompressionModel):
@@ -188,10 +188,10 @@ class MaskedRCNN_FasterRCNN_Coding(CompressionModel):
             + self.seg_coder.entropy_bottleneck.aux_loss()
         )
 
-    def eb_pmf_data(self):
+    def eb_dict(self):
         return {
-            "entropy_bottleneck": self.coder.entropy_bottleneck.pmf_data(),
-            "seg_entropy_bottleneck": self.seg_coder.entropy_bottleneck.pmf_data(),
+            "entropy_bottleneck": self.coder.entropy_bottleneck,
+            "seg_entropy_bottleneck": self.seg_coder.entropy_bottleneck,
         }
 
 
@@ -366,5 +366,5 @@ class SymmetricalTransFormer7(CompressionModel):
     def aux_loss(self):
         return self.coder.entropy_bottleneck.aux_loss()
 
-    def eb_pmf_data(self):
-        return {"entropy_bottleneck": self.coder.entropy_bottleneck.pmf_data()}
+    def eb_dict(self):
+        return {"entropy_bottleneck": self.coder.entropy_bottleneck}

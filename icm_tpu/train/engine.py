@@ -71,7 +71,9 @@ def run_training(
     for name in ("noise", "dropout"):
         init_rngs[name] = jax.random.fold_in(rng, hash(name) % 1000)
     example = init_batch if isinstance(init_batch, tuple) else (init_batch,)
-    variables = model.init(init_rngs, *[jax.numpy.asarray(e) for e in example])
+    variables = jax.jit(model.init)(
+        init_rngs, *[jax.numpy.asarray(e) for e in example]
+    )
 
     tx = make_optimizer(
         learning_rate, aux_learning_rate, clip_max_norm,

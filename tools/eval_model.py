@@ -59,7 +59,7 @@ def load_model_and_params(args, example):
         "noise": jax.random.PRNGKey(1),
         "dropout": jax.random.PRNGKey(2),
     }
-    variables = model.init(rngs, *example)
+    variables = jax.jit(model.init)(rngs, *example)
     if args.checkpoint:
         from icm_tpu.train import TrainState, make_optimizer
 
