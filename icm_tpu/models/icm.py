@@ -117,6 +117,43 @@ class FasterRCNN_Coding(CompressionModel):
     def eb_dict(self):
         return {"entropy_bottleneck": self.coder.entropy_bottleneck}
 
+    # --- ChARM protocol: delegate to the zigzag coder (CharmCodec codes
+    # the machine bitstream; task nets are eval-side only) ------------------
+    def analyze(self, x, training: bool = False):
+        y = self.g_a(x)
+        return y, self.coder.h_a(y)
+
+    def synthesize(self, y_hat, training: bool = False):
+        return self.g_s(y_hat)
+
+    def ctx_prepare(self, z_hat):
+        return self.coder.ctx_prepare(z_hat)
+
+    def latent_slices(self, y):
+        return self.coder.latent_slices(y)
+
+    @property
+    def ctx_slices(self) -> int:
+        # (accessible outside apply: derived from config, not submodules)
+        return self.num_slices * 4
+
+    def ctx_support(self, i, decoded):
+        from .base import sliding_support
+
+        return sliding_support(self.max_support)(i, decoded)
+
+    def slice_context(self, i, state, support):
+        return self.coder.slice_context(i, state, support)
+
+    def slice_lrp(self, i, mean_support, y_hat_slice):
+        return self.coder.slice_lrp(i, mean_support, y_hat_slice)
+
+    def ctx_assemble(self, y_hat_slices):
+        return self.coder.ctx_assemble(y_hat_slices)
+
+    def eb_medians(self):
+        return self.coder.eb_medians()
+
 
 class MaskedRCNN_FasterRCNN_Coding(CompressionModel):
     N: int = 192

@@ -90,3 +90,19 @@ def test_stf10_prompt_adapters_and_seg_student():
     # prompt adapter params exist
     names = set(variables["params"].keys())
     assert any("promot" in n for n in names)
+
+
+def test_oj_icm_codec_roundtrip():
+    """Machine-layer real coder works for oj_ICM via protocol delegation."""
+    from icm_tpu.models import CharmCodec
+
+    model = create_model("oj_ICM", **TINY_CODEC, with_task_net=False)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(_rngs(), x)
+    codec = CharmCodec(model, variables)
+    enc = codec.compress(x, return_debug=True)
+    dec = codec.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    assert dec["x_hat"].shape == x.shape
