@@ -91,6 +91,13 @@ def _load_native():
         u8p, i64p, i64p, i32p, ctypes.c_int64, ctypes.c_int64, i32p,
         ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int,
     ]
+    lib.rans_dec_batch_new.restype = ctypes.c_void_p
+    lib.rans_dec_batch_new.argtypes = [u8p, i64p, i64p, ctypes.c_int64]
+    lib.rans_dec_batch_decode.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int64, ctypes.c_int64, i32p,
+        ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int,
+    ]
+    lib.rans_dec_batch_free.argtypes = [ctypes.c_void_p]
     lib.pmf_to_quantized_cdf.restype = ctypes.c_int
     lib.pmf_to_quantized_cdf.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int, i32p,
@@ -238,6 +245,72 @@ class RansDecoder:
     def __del__(self):
         if getattr(self, "_lib", None) is not None and getattr(self, "_h", None):
             self._lib.rans_dec_free(self._h)
+            self._h = None
+
+
+class BatchRansDecoder:
+    """Stateful decoder over B parallel streams: each ``decode_stream``
+    call decodes (B, N) indexes -> (B, N) symbols in one threaded native
+    call (the AR slice-loop fast path). Falls back to per-stream Python
+    decoders without the native lib."""
+
+    def __init__(self, streams: Sequence[bytes]):
+        self._lib = _load_native()
+        self._n = len(streams)
+        if self._lib is None:
+            self._decs = [rans_py.RansDecoder() for _ in streams]
+            for d, s in zip(self._decs, streams):
+                d.set_stream(s)
+            self._h = None
+            return
+        blob = b"".join(streams)
+        self._arena = (ctypes.c_uint8 * len(blob)).from_buffer_copy(blob)
+        sizes = np.array([len(s) for s in streams], np.int64)
+        offs = np.zeros(self._n, np.int64)
+        np.cumsum(sizes[:-1], out=offs[1:])
+        self._sizes, self._offs = sizes, offs  # keep alive
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        self._h = self._lib.rans_dec_batch_new(
+            self._arena, offs.ctypes.data_as(i64p),
+            sizes.ctypes.data_as(i64p), self._n,
+        )
+
+    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+        """indexes (B, ...) -> int32 symbols of the same shape."""
+        idx = np.ascontiguousarray(indexes, np.int32)
+        shape = idx.shape
+        assert shape[0] == self._n
+        flat = idx.reshape(self._n, -1)
+        if self._h is None:
+            out = np.stack(
+                [
+                    np.asarray(
+                        self._decs[b].decode_stream(
+                            list(flat[b]),
+                            [list(c) for c in cdfs]
+                            if not isinstance(cdfs, np.ndarray) else cdfs,
+                            list(np.asarray(cdf_lengths)),
+                            list(np.asarray(offsets)),
+                        )
+                    )
+                    for b in range(self._n)
+                ]
+            ).astype(np.int32)
+            return out.reshape(shape)
+        cdf = _cdf_matrix(cdfs)
+        lens = _as_i32(cdf_lengths)
+        offs = _as_i32(offsets)
+        out = np.empty_like(flat)
+        self._lib.rans_dec_batch_decode(
+            self._h, _i32p(flat), self._n, flat.shape[1], _i32p(cdf),
+            cdf.shape[1], _i32p(lens), _i32p(offs), _i32p(out),
+            os.cpu_count() or 1,
+        )
+        return out.reshape(shape)
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and getattr(self, "_h", None):
+            self._lib.rans_dec_batch_free(self._h)
             self._h = None
 
 

@@ -256,6 +256,46 @@ void rans_dec_decode(void* dec, const int32_t* indexes, int64_t n,
 
 void rans_dec_free(void* dec) { delete static_cast<Decoder*>(dec); }
 
+// ---- batched stateful decoder ---------------------------------------------
+// B parallel decoder states (one stream per batch item); each decode call
+// consumes (B, N) indexes and fills (B, N) symbols — the autoregressive
+// slice loop costs ONE native call per slice for the whole batch.
+
+struct BatchDecoder {
+  std::vector<Decoder> decs;
+};
+
+void* rans_dec_batch_new(const uint8_t* streams, const int64_t* offsets,
+                         const int64_t* sizes, int64_t batch) {
+  BatchDecoder* bd = new BatchDecoder();
+  bd->decs.resize(batch);
+  for (int64_t b = 0; b < batch; ++b) {
+    bd->decs[b].init(streams + offsets[b], sizes[b]);
+  }
+  return bd;
+}
+
+void rans_dec_batch_decode(void* h, const int32_t* indexes, int64_t batch,
+                           int64_t per_item, const int32_t* cdfs,
+                           int64_t cdf_stride, const int32_t* cdf_lengths,
+                           const int32_t* offsets, int32_t* out,
+                           int num_threads) {
+  BatchDecoder* bd = static_cast<BatchDecoder*>(h);
+  const int nt = std::max(1, std::min<int>(num_threads, batch));
+  std::vector<std::thread> threads;
+  auto work = [&](int tid) {
+    for (int64_t b = tid; b < batch; b += nt) {
+      bd->decs[b].decode(indexes + b * per_item, per_item, cdfs, cdf_stride,
+                         cdf_lengths, offsets, out + b * per_item);
+    }
+  };
+  for (int t = 1; t < nt; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto& t : threads) t.join();
+}
+
+void rans_dec_batch_free(void* h) { delete static_cast<BatchDecoder*>(h); }
+
 // ---- threaded batch entry points -----------------------------------------
 // One independent stream per batch item; streams are concatenated into a
 // caller-provided arena with per-item offsets.

@@ -229,32 +229,17 @@ class CharmCodec:
         z_hat = self._decode_z(z_strings, shape)
         state = self._ctx_prepare(v, z_hat)
 
-        B = len(y_strings)
         gt = self.tables.gaussian
-
-        decoders = [coding.RansDecoder() for _ in range(B)]
-        for b in range(B):
-            decoders[b].set_stream(y_strings[b])
+        decoder = coding.BatchRansDecoder(y_strings)
 
         y_hat_slices: List[jax.Array] = []
         for i in range(self.model.ctx_slices):
             support = self.model.ctx_support(i, y_hat_slices)
             mu, _, index, mean_support = self._slice_context(v, i, state, support)
             idx_np = np.asarray(jax.device_get(index))
-            sh = idx_np.shape
-            sym = np.stack(
-                [
-                    np.asarray(
-                        decoders[b].decode_stream(
-                            idx_np[b].reshape(-1),
-                            gt.quantized_cdf,
-                            gt.cdf_length,
-                            gt.offset,
-                        )
-                    ).reshape(sh[1:])
-                    for b in range(B)
-                ]
-            ).astype(np.int32)
+            sym = decoder.decode_stream(
+                idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset
+            )
             y_hat_slice = self._slice_decode(
                 v, i, jnp.asarray(sym), mu, mean_support
             )

@@ -152,3 +152,25 @@ def test_native_cdf_quantizer_matches_numpy():
         np.testing.assert_array_equal(
             pmf_to_quantized_cdf(pmf, 16), pmf_to_quantized_cdf_np(pmf, 16)
         )
+
+
+def test_batch_stateful_decoder():
+    from icm_tpu.coding import BatchRansDecoder
+
+    rng = np.random.default_rng(6)
+    cdfs, lengths, offsets = _random_tables(rng)
+    B, N = 3, 120
+    indexes = rng.integers(0, len(lengths), (B, 2 * N)).astype(np.int32)
+    symbols = np.stack(
+        [
+            _random_symbols(rng, 2 * N, lengths, offsets, indexes[b], 60)
+            for b in range(B)
+        ]
+    )
+    streams = encode_batch(symbols, indexes, cdfs, lengths, offsets)
+    dec = BatchRansDecoder(streams)
+    out1 = dec.decode_stream(indexes[:, :N], cdfs, lengths, offsets)
+    out2 = dec.decode_stream(indexes[:, N:], cdfs, lengths, offsets)
+    np.testing.assert_array_equal(
+        np.concatenate([out1, out2], axis=1), symbols
+    )
