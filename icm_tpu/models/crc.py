@@ -162,6 +162,38 @@ class _MachineLayer(nn.Module):
         return y_hat, likelihoods
 
 
+class _HumanEncoder(nn.Module):
+    """stf9 human_g_a (stf9.py:770-780): 4x stride-2 convs, GELU between."""
+
+    N: int = 192
+    M: int = 384
+
+    @nn.compact
+    def __call__(self, h):
+        for w, last in ((self.N, False), (self.N, False), (self.N, False),
+                        (self.M, True)):
+            h = conv(w, kernel_size=5, stride=2)(h)
+            if not last:
+                h = jax.nn.gelu(h)
+        return h
+
+
+class _HumanDecoder(nn.Module):
+    """stf9 human_g_s (stf9.py:782-793): 4x stride-2 deconvs, GELU between."""
+
+    N: int = 192
+    out_ch: int = 3
+
+    @nn.compact
+    def __call__(self, d):
+        for w, last in ((self.N, False), (self.N, False), (self.N, False),
+                        (self.out_ch, True)):
+            d = deconv(w, 5, 2)(d)
+            if not last:
+                d = jax.nn.gelu(d)
+        return d
+
+
 class ConditionalResidualCoding(CompressionModel):
     """stf9 / stf11 (CRC v1). Registry names: "stf9", "stf11"."""
 
@@ -186,36 +218,22 @@ class ConditionalResidualCoding(CompressionModel):
         self.g_s1 = MainCNNDecoderPart1(self.N, self.M, self.mid)
         self.g_s2 = MainCNNDecoderPart2(self.N, self.mid)
         self.human_g_s2 = MainCNNDecoder(self.N, self.M, self.mid)  # decode-side cond image
-        # human encoder: 6ch -> M plain conv stack (stf9.py:770-780)
+        self.human_g_a = _HumanEncoder(self.N, self.M)
+        self.human_g_s = _HumanDecoder(self.N)
         self.human_hyper = _SimpleHyper(
             enc_widths=self.hyper_enc_widths, dec_widths=self.hyper_dec_widths
         )
         self.human_context_decoder = _ConvStack(self.M, 5)
 
-    @nn.compact
     def __call__(self, x, training: bool = True):
         y_hat, m_lik = self.machine.encode_code(x, training=training)
         h_hat1 = self.g_s1(y_hat)
         decompress_image = self.g_s2(h_hat1)
 
-        # human enhancement layer
-        cond_image = self.human_g_s2(y_hat)
-        human_support = jnp.concatenate([x, cond_image], axis=-1)
-        h = human_support
-        for w, k in ((self.N, 5), (self.N, 5), (self.N, 5), (self.M, 5)):
-            h = conv(w, kernel_size=k, stride=2)(h)
-            if w != self.M:
-                h = jax.nn.gelu(h)
-        human_y = h
+        # human enhancement layer (stf9.py:1132-1154)
+        human_y, _ = self.human_encode(x, y_hat)
         human_y_hat, h_lik = self.human_hyper.code(human_y, training=training)
-
-        context = self.human_context_decoder(y_hat)
-        d = jnp.concatenate([human_y_hat, context], axis=-1)
-        for w, last in ((self.N, False), (self.N, False), (self.N, False), (3, True)):
-            d = deconv(w, 5, 2)(d)
-            if not last:
-                d = jax.nn.gelu(d)
-        human_deimage = d
+        human_deimage = self.human_synthesize(human_y_hat, y_hat)
 
         return {
             "x_hat": human_deimage,
@@ -224,6 +242,19 @@ class ConditionalResidualCoding(CompressionModel):
             "likelihoods": h_lik,
             "machine_likelihoods": m_lik,
         }
+
+    # --- coder-facing stages (crc_codec.CRCCodec) ---------------------------
+    def human_encode(self, x, y_hat):
+        cond_image = self.human_g_s2(y_hat)
+        human_y = self.human_g_a(jnp.concatenate([x, cond_image], axis=-1))
+        return human_y, self.human_hyper.h_a(human_y)
+
+    def human_eb_medians(self):
+        return self.human_hyper.entropy_bottleneck.medians()[:, 0, 0]
+
+    def human_synthesize(self, human_y_hat, y_hat):
+        context = self.human_context_decoder(y_hat)
+        return self.human_g_s(jnp.concatenate([human_y_hat, context], axis=-1))
 
     def aux_loss(self):
         return (

@@ -1,0 +1,267 @@
+"""Real-bitstream coder for the layered CRC models (stf9/stf11).
+
+The reference never shipped working compress/decompress for the CRC
+family (SURVEY.md §0: only cnn and stf have sound coder paths); this is a
+new, self-consistent design:
+
+  strings = [machine_y, machine_z, human_y, human_z]
+
+  - machine layer: the zigzag ChARM coder, coded exactly like
+    ``CharmCodec`` (shared jitted per-slice functions on both sides);
+  - human layer: one-shot conditional Gaussian — indexes from the
+    hyper-decoded scales, means as quantization offsets (the decoder
+    reproduces the conditioning image ``human_g_s2(y_hat)`` and the
+    context decoders from the machine latent, so only the residual layer
+    bitstreams are transmitted).
+
+Everything device-side is jitted; symbols cross to the host once per
+stage into the threaded rANS.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import coding
+from ..entropy import build_indexes
+from .base import CodecTables
+from .codec import _eb_indexes, build_codec_tables
+
+
+class CRCCodec:
+    """compress/decompress for ``ConditionalResidualCoding`` (stf9/stf11)."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        self.model = model
+        self.variables = variables
+        self.tables = tables or build_codec_tables(model, variables)
+        self._scale_table_dev = jnp.asarray(self.tables.scale_table)
+        mdl = model
+
+        # --- machine layer stages (delegating into model.machine.coder) ---
+        def _coder(m):
+            return m.machine.coder
+
+        @jax.jit
+        def m_analyze(v, x):
+            def f(m):
+                y = m.machine.g_a(x)
+                return y, _coder(m).h_a(y)
+
+            return mdl.apply(v, method=f)
+
+        @jax.jit
+        def m_eb_medians(v):
+            return mdl.apply(v, method=lambda m: _coder(m).eb_medians())
+
+        @jax.jit
+        def m_ctx_prepare(v, z_hat):
+            return mdl.apply(v, method=lambda m: _coder(m).ctx_prepare(z_hat))
+
+        @jax.jit
+        def m_latent_slices(v, y):
+            return mdl.apply(v, method=lambda m: _coder(m).latent_slices(y))
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def m_slice_context(v, i, state, support):
+            mu, scale, ms = mdl.apply(
+                v, method=lambda m: _coder(m).slice_context(i, state, support)
+            )
+            return mu, scale, build_indexes(scale, self._scale_table_dev), ms
+
+        @functools.partial(jax.jit, static_argnums=(1, 5))
+        def m_slice_code(v, i, sym_or_y, mu, mean_support, encode):
+            def f(m):
+                c = _coder(m)
+                if encode:
+                    sym = jnp.round(sym_or_y - mu).astype(jnp.int32)
+                else:
+                    sym = sym_or_y
+                y_hat = sym.astype(mu.dtype) + mu
+                if c.apply_lrp:
+                    y_hat = y_hat + c.slice_lrp(i, mean_support, y_hat)
+                return sym, y_hat
+
+            return mdl.apply(v, method=f)
+
+        @jax.jit
+        def m_assemble(v, slices):
+            return mdl.apply(v, method=lambda m: _coder(m).ctx_assemble(slices))
+
+        # --- human layer stages -------------------------------------------
+        @jax.jit
+        def human_encode_prep(v, x, y_hat):
+            """-> (human_y, human_z) (reference stf9.py:1132-1136 semantics)."""
+            return mdl.apply(v, x, y_hat, method=mdl.human_encode)
+
+        @jax.jit
+        def human_z_symbols(v, z):
+            med = mdl.apply(v, method=mdl.human_eb_medians)
+            return jnp.round(z - med).astype(jnp.int32)
+
+        @jax.jit
+        def human_z_dequant(v, sym):
+            med = mdl.apply(v, method=mdl.human_eb_medians)
+            return sym.astype(jnp.float32) + med
+
+        @jax.jit
+        def human_hyper_synth(v, z_hat):
+            def f(m):
+                return (
+                    m.human_hyper.h_mean_s(z_hat),
+                    m.human_hyper.h_scale_s(z_hat),
+                )
+
+            means, scales = mdl.apply(v, method=f)
+            index = build_indexes(scales, self._scale_table_dev)
+            return means, scales, index
+
+        @jax.jit
+        def human_y_symbols(v, y, means):
+            return jnp.round(y - means).astype(jnp.int32)
+
+        @jax.jit
+        def human_decode(v, sym, means, y_hat):
+            human_y_hat = sym.astype(jnp.float32) + means
+            return mdl.apply(v, human_y_hat, y_hat, method=mdl.human_synthesize)
+
+        self._m_analyze = m_analyze
+        self._m_eb_medians = m_eb_medians
+        self._m_ctx_prepare = m_ctx_prepare
+        self._m_latent_slices = m_latent_slices
+        self._m_slice_context = m_slice_context
+        self._m_slice_code = m_slice_code
+        self._m_assemble = m_assemble
+        self._human_encode_prep = human_encode_prep
+        self._human_z_symbols = human_z_symbols
+        self._human_z_dequant = human_z_dequant
+        self._human_hyper_synth = human_hyper_synth
+        self._human_y_symbols = human_y_symbols
+        self._human_decode = human_decode
+
+    # --- z coding shared ----------------------------------------------------
+    def _code_z(self, sym: np.ndarray, table_key: str) -> List[bytes]:
+        t = self.tables.bottlenecks[table_key]
+        B, h, w, C = sym.shape
+        idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
+        return coding.encode_batch(
+            sym.reshape(B, -1), idx, t.quantized_cdf, t.cdf_length, t.offset
+        )
+
+    def _decode_z(self, strings, shape_hw, table_key: str) -> np.ndarray:
+        t = self.tables.bottlenecks[table_key]
+        h, w = shape_hw
+        C = t.num_distributions
+        B = len(strings)
+        idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
+        sym = coding.decode_batch(
+            strings, idx, t.quantized_cdf, t.cdf_length, t.offset
+        )
+        return sym.reshape(B, h, w, C)
+
+    # --- machine layer charm loop (shared by both directions) ---------------
+    def _machine_decode_loop(self, v, state, decoder=None, y_slices=None):
+        from .base import sliding_support
+
+        gt = self.tables.gaussian
+        support_fn = sliding_support(self.model.max_support)
+        sym_list, idx_list, slices = [], [], []
+        for i in range(self.model.num_slices * 4):
+            support = support_fn(i, slices)
+            mu, scale, index, ms = self._m_slice_context(v, i, state, support)
+            if decoder is None:  # encode
+                sym, y_hat = self._m_slice_code(v, i, y_slices[i], mu, ms, True)
+                sym_list.append(np.asarray(jax.device_get(sym)).reshape(
+                    sym.shape[0], -1))
+                idx_list.append(np.asarray(jax.device_get(index)).reshape(
+                    index.shape[0], -1))
+            else:
+                idx_np = np.asarray(jax.device_get(index))
+                sym = decoder.decode_stream(
+                    idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset
+                )
+                _, y_hat = self._m_slice_code(
+                    v, i, jnp.asarray(sym), mu, ms, False
+                )
+            slices.append(y_hat)
+        return slices, sym_list, idx_list
+
+    # --- public API ----------------------------------------------------------
+    def compress(self, x, return_debug: bool = False) -> Dict[str, Any]:
+        v = self.variables
+        y, z = self._m_analyze(v, x)
+        B = x.shape[0]
+        zh, zw = z.shape[1], z.shape[2]
+
+        z_sym = np.asarray(jax.device_get(
+            jnp.round(z - self._m_eb_medians(v)).astype(jnp.int32)
+        ))
+        z_strings = self._code_z(z_sym, "entropy_bottleneck")
+        z_hat = jnp.asarray(z_sym, jnp.float32) + self._m_eb_medians(v)
+
+        state = self._m_ctx_prepare(v, z_hat)
+        y_slices = self._m_latent_slices(v, y)
+        slices, sym_list, idx_list = self._machine_decode_loop(
+            v, state, decoder=None, y_slices=y_slices
+        )
+        gt = self.tables.gaussian
+        y_strings = coding.encode_batch(
+            np.concatenate(sym_list, axis=1),
+            np.concatenate(idx_list, axis=1),
+            gt.quantized_cdf, gt.cdf_length, gt.offset,
+        )
+        y_hat = self._m_assemble(v, slices)
+
+        # human layer
+        human_y, human_z = self._human_encode_prep(v, x, y_hat)
+        hz_sym = np.asarray(jax.device_get(self._human_z_symbols(v, human_z)))
+        hz_strings = self._code_z(hz_sym, "entropy_bottleneck_human")
+        hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
+        means, scales, index = self._human_hyper_synth(v, hz_hat)
+        hy_sym = np.asarray(jax.device_get(self._human_y_symbols(v, human_y, means)))
+        hy_idx = np.asarray(jax.device_get(index))
+        hy_strings = coding.encode_batch(
+            hy_sym.reshape(B, -1), hy_idx.reshape(B, -1),
+            gt.quantized_cdf, gt.cdf_length, gt.offset,
+        )
+
+        out = {
+            "strings": [y_strings, z_strings, hy_strings, hz_strings],
+            "shape": (zh, zw),
+            "human_shape": (human_z.shape[1], human_z.shape[2]),
+        }
+        if return_debug:
+            out["y_hat"] = y_hat
+            out["x_hat"] = self._human_decode(
+                v, jnp.asarray(hy_sym), means, y_hat
+            )
+        return out
+
+    def decompress(self, strings, shape, human_shape) -> Dict[str, Any]:
+        v = self.variables
+        y_strings, z_strings, hy_strings, hz_strings = strings
+        z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
+        z_hat = jnp.asarray(z_sym, jnp.float32) + self._m_eb_medians(v)
+        state = self._m_ctx_prepare(v, z_hat)
+        decoder = coding.BatchRansDecoder(y_strings)
+        slices, _, _ = self._machine_decode_loop(v, state, decoder=decoder)
+        y_hat = self._m_assemble(v, slices)
+
+        hz_sym = self._decode_z(hz_strings, human_shape, "entropy_bottleneck_human")
+        hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
+        means, scales, index = self._human_hyper_synth(v, hz_hat)
+        gt = self.tables.gaussian
+        idx_np = np.asarray(jax.device_get(index))
+        B = len(hy_strings)
+        hy_sym = coding.decode_batch(
+            hy_strings, idx_np.reshape(B, -1),
+            gt.quantized_cdf, gt.cdf_length, gt.offset,
+        ).reshape(idx_np.shape)
+        x_hat = self._human_decode(v, jnp.asarray(hy_sym), means, y_hat)
+        return {"x_hat": jnp.clip(x_hat, 0.0, 1.0), "y_hat": y_hat}

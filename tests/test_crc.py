@@ -50,3 +50,23 @@ def test_stf11_is_stf9():
     m9 = create_model("stf9", **TINY)
     m11 = create_model("stf11", **TINY)
     assert type(m9) is type(m11)
+
+
+def test_crc_codec_roundtrip():
+    """Layered real coder for stf9/stf11: 4 bitstreams, bitexact y_hat."""
+    import numpy as np
+    from icm_tpu.models.crc_codec import CRCCodec
+
+    model = create_model("stf9", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    codec = CRCCodec(model, variables)
+    enc = codec.compress(x, return_debug=True)
+    assert len(enc["strings"]) == 4
+    dec = codec.decompress(enc["strings"], enc["shape"], enc["human_shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    assert dec["x_hat"].shape == x.shape
