@@ -120,3 +120,16 @@ def test_compute_map_perfect_and_miss():
     det_miss = {0: {"boxes": [[50, 50, 60, 60]], "scores": [0.9], "labels": [1]}}
     r2 = compute_map(det_miss, gt)
     assert r2["mAP"] == 0.0
+
+
+def test_train_config_roundtrip():
+    from icm_tpu.config import TrainConfig, ModelConfig
+
+    cfg = TrainConfig(
+        model=ModelConfig("cnn", {"N": 16}), lmbda=0.0067, epochs=3
+    )
+    text = cfg.to_json()
+    back = TrainConfig.from_json(text)
+    assert back.model.name == "cnn"
+    assert back.model.overrides["N"] == 16
+    assert back.lmbda == 0.0067

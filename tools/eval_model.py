@@ -84,12 +84,18 @@ def eval_image(args):
     model, variables = load_model_and_params(args, (jnp.asarray(first),))
 
     codec = None
+    layered = args.model in ("stf9", "stf11")
     if not args.entropy_estimation:
-        from icm_tpu.models import CharmCodec
-
         try:
-            codec = CharmCodec(model, variables)
-        except Exception as e:  # models without a charm coder path
+            if layered:
+                from icm_tpu.models.crc_codec import CRCCodec
+
+                codec = CRCCodec(model, variables)
+            else:
+                from icm_tpu.models import CharmCodec
+
+                codec = CharmCodec(model, variables)
+        except Exception as e:  # models without a coder path
             print(f"real coder unavailable for {args.model} ({e}); "
                   "falling back to entropy estimation")
 
@@ -105,7 +111,12 @@ def eval_image(args):
             enc = codec.compress(x)
             t_enc = time.time() - t0
             t0 = time.time()
-            dec = codec.decompress(enc["strings"], enc["shape"])
+            if layered:
+                dec = codec.decompress(
+                    enc["strings"], enc["shape"], enc["human_shape"]
+                )
+            else:
+                dec = codec.decompress(enc["strings"], enc["shape"])
             t_dec = time.time() - t0
             bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
             bpp = bits / num_pixels
