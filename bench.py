@@ -4,10 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 North-star metric (BASELINE.md): images/sec/chip for full encode+decode at
 512x512. The reference publishes no numbers (BASELINE.md); vs_baseline is
-reported against the reference-defined target workload once a measured
-reference number exists — until then it is null.
-
-Run with the default environment (axon TPU). Falls back to CPU if no TPU.
+null until a measured reference number exists. "extra" carries secondary
+measurements (jitted eval-forward throughput, bpp).
 """
 
 import json
@@ -23,27 +21,43 @@ def main():
     size = 512
     batch = 4
     from icm_tpu.models import CharmCodec, WACNN
+    from icm_tpu.nn import set_use_pallas
+
+    set_use_pallas(None)  # auto: fused kernel where profitable (W<=256)
 
     model = WACNN()  # full-size: N=192, M=320, 10 slices
     x = jax.random.uniform(jax.random.PRNGKey(0), (batch, size, size, 3))
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
     )
-    codec = CharmCodec(model, variables)
+    jax.block_until_ready(variables)
 
-    # warmup (compile everything)
+    # secondary: jitted eval forward throughput
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))
+    out = fwd(variables["params"], x)
+    jax.block_until_ready(out["x_hat"])
+    t0 = time.time()
+    for _ in range(5):
+        out = fwd(variables["params"], x)
+    jax.block_until_ready(out["x_hat"])
+    fwd_ips = batch * 5 / (time.time() - t0)
+
+    codec = CharmCodec(model, variables)
     enc = codec.compress(x)
     dec = codec.decompress(enc["strings"], enc["shape"])
     jax.block_until_ready(dec["x_hat"])
 
     iters = 3
-    t0 = time.time()
+    t_enc = t_dec = 0.0
     for _ in range(iters):
+        t0 = time.time()
         enc = codec.compress(x)
+        t_enc += time.time() - t0
+        t0 = time.time()
         dec = codec.decompress(enc["strings"], enc["shape"])
         jax.block_until_ready(dec["x_hat"])
-    dt = time.time() - t0
-    ips = batch * iters / dt
+        t_dec += time.time() - t0
+    ips = batch * iters / (t_enc + t_dec)
 
     bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
     bpp = bits / (batch * size * size)
@@ -58,6 +72,9 @@ def main():
                 "extra": {
                     "batch": batch,
                     "bpp_untrained": round(bpp, 3),
+                    "fwd_images_per_sec": round(fwd_ips, 1),
+                    "enc_images_per_sec": round(batch * iters / t_enc, 2),
+                    "dec_images_per_sec": round(batch * iters / t_dec, 2),
                     "backend": jax.default_backend(),
                 },
             }

@@ -25,9 +25,11 @@ def build(force: bool = False) -> str | None:
         and os.path.getmtime(LIB) >= os.path.getmtime(SRC)
     ):
         return LIB
+    debug = bool(os.environ.get("DEBUG_BUILD"))
+    opt = ["-O0", "-g", "-UNDEBUG"] if debug else ["-O3"]
     cmd = [
         "g++",
-        "-O3",
+        *opt,
         "-std=c++17",
         "-shared",
         "-fPIC",

@@ -204,3 +204,22 @@ def compute_map(
         "AP50": ap_by_t[0],
         "AP75": ap_by_t[5] if len(ap_by_t) > 5 else ap_by_t[-1],
     }
+
+
+# VOC-style palette for mask visualization (reference
+# deeplab/high_utils/visualizer.py equivalent, torch/matplotlib-free)
+def colorize_mask(mask: np.ndarray) -> np.ndarray:
+    """(H, W) int class ids -> (H, W, 3) uint8 VOC-palette colors."""
+    mask = np.asarray(mask)
+    palette = np.zeros((256, 3), np.uint8)
+    for i in range(256):
+        c, j = i, 0
+        r = g = b = 0
+        while c:
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+            j += 1
+        palette[i] = (r, g, b)
+    return palette[np.clip(mask, 0, 255)]

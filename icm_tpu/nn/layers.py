@@ -199,7 +199,14 @@ class WindowAttention(nn.Module):
         idx = relative_position_index(wh, ww).reshape(-1)
         bias = table[idx].reshape(N, N, nh).transpose(2, 0, 1)  # (nh, N, N)
 
-        if mask_cls is not None and _pallas_enabled() and self.qk_scale is None:
+        from .pallas_kernels import fused_attention_profitable
+
+        if (
+            mask_cls is not None
+            and _pallas_enabled()
+            and self.qk_scale is None
+            and fused_attention_profitable(B_)
+        ):
             from .pallas_kernels import window_attention_fused
 
             n_cls, cls_per_window, cls_masks = mask_cls

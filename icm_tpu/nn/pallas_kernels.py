@@ -31,9 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(cls_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    # q/k/v: (T, H, N, D); bias: (n_cls, H, N, N); cls_ref: SMEM (W,)
+    # q/k/v: (T, H, N, D); bias: (n_cls, H, N, N); cls_ref: SMEM (T, 1)
     T = q_ref.shape[0]
-    base = pl.program_id(0) * T
 
     def body(t, _):
         q = q_ref[t]  # (H, N, D)
@@ -44,7 +43,7 @@ def _attn_kernel(cls_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (H, N, N)
-        c = cls_ref[base + t]
+        c = cls_ref[t, 0]
         attn = attn + bias_ref[c]
         attn = jax.nn.softmax(attn, axis=-1)
         o_ref[t] = jax.lax.dot_general(
@@ -62,30 +61,63 @@ def window_attention_fused(
 ):
     """q, k, v: (W, H, N, D); bias: (n_cls, H, N, N) (relative-position
     bias with the SW-MSA mask already folded in); cls_idx: (W,) int32
-    class per window. Returns (W, H, N, D)."""
+    class per window. Returns (W, H, N, D).
+
+    The class ids stream per-tile into SMEM as a (T, 1) block. Calls with
+    many windows are chunked (<= ``chunk`` windows per pallas_call) via
+    ``lax.map`` — the axon remote TPU compiler fails on this kernel past
+    ~W=512, and the chunked body compiles once regardless of W.
+
+    Measured on v5e: the fused kernel wins below ~256 windows (dispatch/
+    fusion bound); above that XLA's batched GEMMs win — callers should
+    prefer the jnp path for large W (see ``fused_attention_profitable``)."""
     W, H, N, D = q.shape
+    chunk = 256
+    if W > chunk and not interpret:
+        pad = (chunk - W % chunk) % chunk
+        if pad:
+            qp = jnp.pad(q, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            kp = jnp.pad(k, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            vp = jnp.pad(v, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            cp = jnp.pad(cls_idx, ((0, pad),))
+        else:
+            qp, kp, vp, cp = q, k, v, cls_idx
+        n = qp.shape[0] // chunk
+        qc = qp.reshape(n, chunk, H, N, D)
+        kc = kp.reshape(n, chunk, H, N, D)
+        vc = vp.reshape(n, chunk, H, N, D)
+        cc = cp.reshape(n, chunk)
+        out = jax.lax.map(
+            lambda args: window_attention_fused(
+                args[0], args[1], args[2], bias, args[3], tile=tile
+            ),
+            (qc, kc, vc, cc),
+        )
+        return out.reshape(n * chunk, H, N, D)[:W]
+
     scale = D ** -0.5
     T = min(tile, W)
     while W % T:
         T -= 1
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    cls2d = cls_idx.reshape(W, 1)
+    grid_spec = pl.GridSpec(
         grid=(W // T,),
         in_specs=[
-            pl.BlockSpec((T, H, N, D), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec((T, H, N, D), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec((T, H, N, D), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec(bias.shape, lambda i, c: (0, 0, 0, 0)),
+            pl.BlockSpec((T, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, H, N, D), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((T, H, N, D), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((T, H, N, D), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec(bias.shape, lambda i: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((T, H, N, D), lambda i, c: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((T, H, N, D), lambda i: (i, 0, 0, 0)),
     )
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((W, H, N, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cls_idx, q, k, v, bias)
+    )(cls2d, q, k, v, bias)
 
 
 def window_attention_reference(q, k, v, bias, cls_idx):
@@ -130,3 +162,10 @@ def class_masks(H: int, W: int, window_size: int, shift_size: int):
         if len(idx):
             out[c] = full[idx[0]]
     return out
+
+
+def fused_attention_profitable(num_windows: int) -> bool:
+    """v5e measurement: fused wins for <=256 windows; XLA's batched GEMMs
+    win beyond (the kernel's per-window serial dots underutilize the MXU
+    at scale)."""
+    return num_windows <= 256

@@ -98,3 +98,15 @@ def focal_loss(
 
     cls_l, reg_l = jax.vmap(per_image)(classifications, regressions, annotations)
     return cls_l.mean(), reg_l.mean()
+
+
+def seg_focal_loss(logits, labels, alpha: float = 0.5, gamma: float = 2.0,
+                   ignore_index: int = -1):
+    """Focal cross-entropy for segmentation (reference
+    deeplab/high_utils/loss.py:5-21: focal weighting of per-pixel CE)."""
+    valid = labels != ignore_index
+    safe = jnp.clip(labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    focal = alpha * (1.0 - jnp.exp(-ce)) ** gamma * ce
+    return jnp.where(valid, focal, 0.0).sum() / jnp.clip(valid.sum(), 1)

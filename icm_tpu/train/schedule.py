@@ -34,3 +34,19 @@ class ReduceLROnPlateau:
                 self.lr = max(self.min_lr, self.lr * self.factor)
                 self.bad_epochs = 0
         return self.lr
+
+
+class PolyLR:
+    """Polynomial LR decay (reference deeplab/high_utils/scheduler.py:3-13:
+    lr = base * (1 - step/max_steps)^power)."""
+
+    def __init__(self, base_lr: float, max_steps: int, power: float = 0.9,
+                 min_lr: float = 0.0):
+        self.base_lr = base_lr
+        self.max_steps = max_steps
+        self.power = power
+        self.min_lr = min_lr
+
+    def __call__(self, step: int) -> float:
+        frac = min(step, self.max_steps) / self.max_steps
+        return max(self.min_lr, self.base_lr * (1 - frac) ** self.power)

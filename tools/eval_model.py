@@ -138,10 +138,10 @@ def eval_image(args):
         results.append(r)
         print(f"[{i + 1}/{n}] " + json.dumps(r))
 
-    agg = {
-        k: float(np.mean([r[k] for r in results if r[k] is not None]))
-        for k in results[0]
-    }
+    agg = {}
+    for k in results[0]:
+        vals = [r[k] for r in results if r[k] is not None]
+        agg[k] = float(np.mean(vals)) if vals else None
     print("average:", json.dumps(agg))
     return agg
 
