@@ -6,6 +6,7 @@ from .transforms import (
     resize_min_max_side,
 )
 from .coco import CocoDetectionDataset, coco_collate
+from .csv_dataset import CSVDataset
 from .segmentation import COCOSegmentation
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "random_hflip",
     "resize_min_max_side",
     "CocoDetectionDataset",
+    "CSVDataset",
     "coco_collate",
     "COCOSegmentation",
 ]

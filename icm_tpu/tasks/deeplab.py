@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .resnet import ResNetBackbone
+from .resnet import MobileNetV2Backbone, ResNetBackbone
 
 
 def _resize_bilinear(x, out_hw):
@@ -75,25 +75,33 @@ class DeepLabV3(nn.Module):
     train_bn: bool = False
 
     def setup(self):
-        layers = {
-            "resnet18": ("basic", (2, 2, 2, 2)),
-            "resnet34": ("basic", (3, 4, 6, 3)),
-            "resnet50": ("bottleneck", (3, 4, 6, 3)),
-            "resnet101": ("bottleneck", (3, 4, 23, 3)),
-        }[self.backbone]
-        self.encoder = ResNetBackbone(
-            block=layers[0],
-            layers=layers[1],
-            output_stride=self.output_stride,
-            train_bn=self.train_bn,
-        )
+        if self.backbone == "mobilenetv2":
+            self.encoder = MobileNetV2Backbone(
+                output_stride=self.output_stride, train_bn=self.train_bn
+            )
+        else:
+            layers = {
+                "resnet18": ("basic", (2, 2, 2, 2)),
+                "resnet34": ("basic", (3, 4, 6, 3)),
+                "resnet50": ("bottleneck", (3, 4, 6, 3)),
+                "resnet101": ("bottleneck", (3, 4, 23, 3)),
+            }[self.backbone]
+            self.encoder = ResNetBackbone(
+                block=layers[0],
+                layers=layers[1],
+                output_stride=self.output_stride,
+                train_bn=self.train_bn,
+            )
         rates = (6, 12, 18) if self.output_stride == 16 else (12, 24, 36)
         self.aspp = ASPP(rates=rates, train_bn=self.train_bn)
 
     @nn.compact
     def __call__(self, x):
         H, W = x.shape[1:3]
-        c2, c3, c4, c5 = self.encoder(x)
+        if self.backbone == "mobilenetv2":
+            c2, c5 = self.encoder(x)
+        else:
+            c2, c3, c4, c5 = self.encoder(x)
         h = self.aspp(c5)
         if self.plus:
             low = nn.Conv(48, (1, 1), use_bias=False, name="project")(c2)
@@ -142,4 +150,6 @@ deeplab_models = {
     "deeplabv3plus_resnet34": _factory("resnet34", True),
     "deeplabv3plus_resnet50": _factory("resnet50", True),
     "deeplabv3plus_resnet101": _factory("resnet101", True),
+    "deeplabv3_mobilenet": _factory("mobilenetv2", False),
+    "deeplabv3plus_mobilenet": _factory("mobilenetv2", True),
 }

@@ -150,3 +150,73 @@ def resnet101(**kw):
 
 def resnet152(**kw):
     return ResNetBackbone(block="bottleneck", layers=(3, 8, 36, 3), **kw)
+
+
+class _InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual block."""
+
+    features: int
+    stride: int = 1
+    expand: int = 6
+    dilation: int = 1
+    train_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x.shape[-1]
+        hidden = inp * self.expand
+        h = x
+        if self.expand != 1:
+            h = nn.Conv(hidden, (1, 1), use_bias=False)(h)
+            h = nn.BatchNorm(use_running_average=not self.train_bn)(h)
+            h = nn.relu6(h)
+        d = self.dilation
+        h = nn.Conv(
+            hidden, (3, 3), strides=(self.stride, self.stride),
+            padding=((d, d), (d, d)), kernel_dilation=(d, d),
+            feature_group_count=hidden, use_bias=False,
+        )(h)
+        h = nn.BatchNorm(use_running_average=not self.train_bn)(h)
+        h = nn.relu6(h)
+        h = nn.Conv(self.features, (1, 1), use_bias=False)(h)
+        h = nn.BatchNorm(use_running_average=not self.train_bn)(h)
+        if self.stride == 1 and inp == self.features:
+            h = h + x
+        return h
+
+
+class MobileNetV2Backbone(nn.Module):
+    """MobileNetV2 feature extractor returning (low_level, out) features
+    (reference deeplab/backbone/mobilenetv2.py equivalent)."""
+
+    output_stride: int = 16
+    train_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = [  # t, c, n, s
+            (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+            (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+        ]
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not self.train_bn)(x)
+        x = nn.relu6(x)
+        feats = []
+        stride_so_far = 2
+        dilation = 1
+        for t, c, n, s in cfg:
+            for i in range(n):
+                stride = s if i == 0 else 1
+                if stride_so_far >= self.output_stride and stride > 1:
+                    dilation *= stride
+                    stride = 1
+                else:
+                    stride_so_far *= stride if i == 0 else 1
+                x = _InvertedResidual(
+                    features=c, stride=stride, expand=t,
+                    dilation=dilation, train_bn=self.train_bn,
+                )(x)
+            feats.append(x)
+        # low-level = after 2nd stage (24ch, /4); out = final (320ch)
+        return feats[1], feats[-1]

@@ -133,3 +133,18 @@ def test_train_config_roundtrip():
     assert back.model.name == "cnn"
     assert back.model.overrides["N"] == 16
     assert back.lmbda == 0.0067
+
+
+def test_csv_dataset(tmp_path, fake_coco):
+    import os
+    from icm_tpu.data import CSVDataset
+
+    img = os.path.join(fake_coco, "val2017", "img0.jpg")
+    ann = tmp_path / "ann.csv"
+    ann.write_text(f"{img},10,10,40,30,person\n{img},5,5,20,20,dog\n")
+    cls = tmp_path / "cls.csv"
+    cls.write_text("person,0\ndog,1\n")
+    ds = CSVDataset(str(ann), str(cls))
+    assert len(ds) == 1 and ds.num_classes == 2
+    s = ds[0]
+    assert s["annot"].shape == (2, 5)

@@ -69,3 +69,11 @@ def test_deeplab_output_shape(plus):
     v = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(v, x)
     assert out.shape == (1, 64, 64, 5)
+
+
+def test_deeplab_mobilenet():
+    m = DeepLabV3(num_classes=4, backbone="mobilenetv2", plus=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 64, 64, 4)
