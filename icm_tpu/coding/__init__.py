@@ -91,11 +91,16 @@ def _load_native():
         u8p, i64p, i64p, i32p, ctypes.c_int64, ctypes.c_int64, i32p,
         ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int,
     ]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.rans_dec_batch_new.restype = ctypes.c_void_p
     lib.rans_dec_batch_new.argtypes = [u8p, i64p, i64p, ctypes.c_int64]
     lib.rans_dec_batch_decode.argtypes = [
         ctypes.c_void_p, i32p, ctypes.c_int64, ctypes.c_int64, i32p,
         ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int,
+    ]
+    lib.rans_dec_batch_decode_lut.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int64, ctypes.c_int64, i32p,
+        ctypes.c_int64, i32p, i32p, u16p, i32p, ctypes.c_int,
     ]
     lib.rans_dec_batch_free.argtypes = [ctypes.c_void_p]
     lib.pmf_to_quantized_cdf.restype = ctypes.c_int
@@ -275,8 +280,12 @@ class BatchRansDecoder:
             sizes.ctypes.data_as(i64p), self._n,
         )
 
-    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
-        """indexes (B, ...) -> int32 symbols of the same shape."""
+    def decode_stream(
+        self, indexes, cdfs, cdf_lengths, offsets, lut=None
+    ) -> np.ndarray:
+        """indexes (B, ...) -> int32 symbols of the same shape. ``lut``:
+        optional (n_dists, 2**16) uint16 cum->symbol table for O(1)
+        lookups (see EntropyTables.symbol_lut)."""
         idx = np.ascontiguousarray(indexes, np.int32)
         shape = idx.shape
         assert shape[0] == self._n
@@ -301,11 +310,20 @@ class BatchRansDecoder:
         lens = _as_i32(cdf_lengths)
         offs = _as_i32(offsets)
         out = np.empty_like(flat)
-        self._lib.rans_dec_batch_decode(
-            self._h, _i32p(flat), self._n, flat.shape[1], _i32p(cdf),
-            cdf.shape[1], _i32p(lens), _i32p(offs), _i32p(out),
-            os.cpu_count() or 1,
-        )
+        if lut is not None:
+            lut = np.ascontiguousarray(lut, np.uint16)
+            self._lib.rans_dec_batch_decode_lut(
+                self._h, _i32p(flat), self._n, flat.shape[1], _i32p(cdf),
+                cdf.shape[1], _i32p(lens), _i32p(offs),
+                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                _i32p(out), os.cpu_count() or 1,
+            )
+        else:
+            self._lib.rans_dec_batch_decode(
+                self._h, _i32p(flat), self._n, flat.shape[1], _i32p(cdf),
+                cdf.shape[1], _i32p(lens), _i32p(offs), _i32p(out),
+                os.cpu_count() or 1,
+            )
         return out.reshape(shape)
 
     def __del__(self):

@@ -135,7 +135,8 @@ struct Decoder {
 
   void decode(const int32_t* indexes, int64_t n, const int32_t* cdfs,
               int64_t cdf_stride, const int32_t* cdf_lengths,
-              const int32_t* offsets, int32_t* out) {
+              const int32_t* offsets, int32_t* out,
+              const uint16_t* lut = nullptr) {
     constexpr uint64_t mask = (1ull << kPrecision) - 1;
     for (int64_t i = 0; i < n; ++i) {
       const int32_t idx = indexes[i];
@@ -143,11 +144,18 @@ struct Decoder {
       const int32_t L = cdf_lengths[idx];
       const int32_t max_value = L - 2;
       const uint32_t cum = static_cast<uint32_t>(state & mask);
-      // largest s with cdf[s] <= cum (cdf strictly increasing)
-      int32_t lo = 0, hi = L - 1;
-      while (lo + 1 < hi) {
-        const int32_t mid = (lo + hi) >> 1;
-        if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid; else hi = mid;
+      int32_t lo;
+      if (lut != nullptr) {
+        // O(1) cum -> symbol lookup (table built per CDF row)
+        lo = lut[(static_cast<int64_t>(idx) << kPrecision) | cum];
+      } else {
+        // largest s with cdf[s] <= cum (cdf strictly increasing)
+        int32_t hi = L - 1;
+        lo = 0;
+        while (lo + 1 < hi) {
+          const int32_t mid = (lo + hi) >> 1;
+          if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid; else hi = mid;
+        }
       }
       const uint32_t start = static_cast<uint32_t>(cdf[lo]);
       const uint64_t freq = static_cast<uint32_t>(cdf[lo + 1]) - start;
@@ -287,6 +295,25 @@ void rans_dec_batch_decode(void* h, const int32_t* indexes, int64_t batch,
     for (int64_t b = tid; b < batch; b += nt) {
       bd->decs[b].decode(indexes + b * per_item, per_item, cdfs, cdf_stride,
                          cdf_lengths, offsets, out + b * per_item);
+    }
+  };
+  for (int t = 1; t < nt; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto& t : threads) t.join();
+}
+
+void rans_dec_batch_decode_lut(void* h, const int32_t* indexes, int64_t batch,
+                               int64_t per_item, const int32_t* cdfs,
+                               int64_t cdf_stride, const int32_t* cdf_lengths,
+                               const int32_t* offsets, const uint16_t* lut,
+                               int32_t* out, int num_threads) {
+  BatchDecoder* bd = static_cast<BatchDecoder*>(h);
+  const int nt = std::max(1, std::min<int>(num_threads, batch));
+  std::vector<std::thread> threads;
+  auto work = [&](int tid) {
+    for (int64_t b = tid; b < batch; b += nt) {
+      bd->decs[b].decode(indexes + b * per_item, per_item, cdfs, cdf_stride,
+                         cdf_lengths, offsets, out + b * per_item, lut);
     }
   };
   for (int t = 1; t < nt; ++t) threads.emplace_back(work, t);

@@ -40,6 +40,25 @@ class EntropyTables:
     def num_distributions(self) -> int:
         return int(self.quantized_cdf.shape[0])
 
+    def symbol_lut(self, precision: int = 16) -> np.ndarray:
+        """(n, 2**precision) uint16 cum -> symbol direct-lookup table for
+        O(1) rANS decoding (vs per-symbol binary search). ~128KB/row at
+        precision 16; built lazily and cached."""
+        cached = getattr(self, "_lut_cache", None)
+        if cached is not None:
+            return cached
+        n = self.num_distributions
+        total = 1 << precision
+        lut = np.empty((n, total), np.uint16)
+        for i in range(n):
+            L = int(self.cdf_length[i])
+            freqs = np.diff(self.quantized_cdf[i, :L].astype(np.int64))
+            lut[i] = np.repeat(
+                np.arange(L - 1, dtype=np.uint16), freqs
+            )
+        object.__setattr__(self, "_lut_cache", lut)
+        return lut
+
 
 def quantize(inputs, mode: str, means=None, *, rng=None):
     """Quantize latents. ``mode`` in {"noise", "dequantize", "symbols"}."""

@@ -230,6 +230,7 @@ class CharmCodec:
         state = self._ctx_prepare(v, z_hat)
 
         gt = self.tables.gaussian
+        lut = gt.symbol_lut()
         decoder = coding.BatchRansDecoder(y_strings)
 
         y_hat_slices: List[jax.Array] = []
@@ -238,7 +239,7 @@ class CharmCodec:
             mu, _, index, mean_support = self._slice_context(v, i, state, support)
             idx_np = np.asarray(jax.device_get(index))
             sym = decoder.decode_stream(
-                idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset
+                idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset, lut=lut
             )
             y_hat_slice = self._slice_decode(
                 v, i, jnp.asarray(sym), mu, mean_support

@@ -46,3 +46,29 @@ def data_parallel_step(step_fn, mesh: Mesh, axis_name: str = "data"):
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def fsdp_sharding(params, mesh: Mesh, axis_name: str = "data", min_size: int = 2 ** 16):
+    """FSDP-style parameter sharding: large leaves are sharded over the
+    data axis along their largest divisible dimension; small leaves stay
+    replicated. XLA inserts the all-gathers at use sites (the SURVEY §5.8
+    'free via pjit' option for memory-bound training)."""
+    n = mesh.devices.size
+
+    def spec_for(leaf):
+        if leaf.size < min_size:
+            return NamedSharding(mesh, P())
+        dims = list(leaf.shape)
+        best = max(range(len(dims)), key=lambda i: dims[i])
+        if dims[best] % n != 0:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(dims)
+        spec[best] = axis_name
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, axis_name: str = "data"):
+    shardings = fsdp_sharding(params, mesh, axis_name)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

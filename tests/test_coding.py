@@ -174,3 +174,23 @@ def test_batch_stateful_decoder():
     np.testing.assert_array_equal(
         np.concatenate([out1, out2], axis=1), symbols
     )
+
+
+def test_batch_decoder_lut_matches():
+    from icm_tpu.coding import BatchRansDecoder
+    from icm_tpu.entropy import EntropyTables
+
+    rng = np.random.default_rng(7)
+    cdfs, lengths, offsets = _random_tables(rng)
+    B, N = 2, 400
+    indexes = rng.integers(0, len(lengths), (B, N)).astype(np.int32)
+    symbols = np.stack(
+        [_random_symbols(rng, N, lengths, offsets, indexes[b], 40)
+         for b in range(B)]
+    )
+    streams = encode_batch(symbols, indexes, cdfs, lengths, offsets)
+    tables = EntropyTables(cdfs, lengths, offsets)
+    lut = tables.symbol_lut()
+    dec = BatchRansDecoder(streams)
+    out = dec.decode_stream(indexes, cdfs, lengths, offsets, lut=lut)
+    np.testing.assert_array_equal(out, symbols)
