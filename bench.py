@@ -26,7 +26,14 @@ def main():
     set_use_pallas(None)  # auto: fused kernel where profitable (W<=256)
 
     model = WACNN()  # full-size: N=192, M=320, 10 slices
-    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, size, size, 3))
+    # near-midgray input: an untrained model on white-noise input produces
+    # far-out-of-range symbols (6+ bpp of bypass escapes), which benchmarks
+    # the coder on a statistically unrealistic stream; low-amplitude input
+    # gives in-range symbols comparable to a trained model's (~1 bpp).
+    x = 0.5 + 0.08 * jax.random.normal(
+        jax.random.PRNGKey(0), (batch, size, size, 3)
+    )
+    x = jnp.clip(x, 0.0, 1.0)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
     )
