@@ -170,6 +170,8 @@ def load_reference_checkpoint(arch: str, path: str):
     sd = load_torch_state_dict(path)
     if arch == "cnn":
         return convert_wacnn_checkpoint(sd)
+    if arch == "stf":
+        return convert_stf_checkpoint(sd)
     raise NotImplementedError(
         f"reference checkpoint conversion for {arch!r} not implemented yet"
     )
@@ -180,5 +182,104 @@ __all__ = [
     "create_model",
     "load_pretrained",
     "convert_wacnn_checkpoint",
+    "convert_stf_checkpoint",
     "load_reference_checkpoint",
 ]
+
+
+def _layernorm(sd, name):
+    return {
+        "scale": np.asarray(sd[f"{name}.weight"]),
+        "bias": np.asarray(sd[f"{name}.bias"]),
+    }
+
+
+def _swin_block(sd, prefix):
+    return {
+        "LayerNorm_0": _layernorm(sd, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": _linear(sd, f"{prefix}.attn.qkv"),
+            "proj": _linear(sd, f"{prefix}.attn.proj"),
+            "relative_position_bias_table": np.asarray(
+                sd[f"{prefix}.attn.relative_position_bias_table"]
+            ),
+        },
+        "LayerNorm_1": _layernorm(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "Dense_0": _linear(sd, f"{prefix}.mlp.fc1"),
+            "Dense_1": _linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def _basic_layer(sd, prefix, depth, has_downsample):
+    p = {
+        f"block{j}": _swin_block(sd, f"{prefix}.blocks.{j}")
+        for j in range(depth)
+    }
+    if has_downsample:
+        p["downsample"] = {
+            "LayerNorm_0": _layernorm(sd, f"{prefix}.downsample.norm"),
+            "Dense_0": {
+                "kernel": np.asarray(
+                    sd[f"{prefix}.downsample.reduction.weight"]
+                ).T
+            },
+        }
+    return p
+
+
+def _hyper_dec_stf(sd, prefix):
+    return _hyper_dec(sd, prefix)
+
+
+def convert_stf_checkpoint(
+    state_dict: Dict[str, np.ndarray],
+    depths=(2, 2, 6, 2),
+    num_slices: int = 12,
+) -> dict:
+    """Reference SymmetricalTransFormer torch state dict -> flax params
+    for models.SymmetricalTransFormer (reference stf.py:384-670 module
+    names; Swin scaffolding canonical copy stf.py:24-381)."""
+    sd = load_pretrained(state_dict)
+    n = len(depths)
+    params: dict = {}
+
+    g_a = {
+        "embed": {
+            "Conv_0": _conv(sd, "patch_embed.proj"),
+            "LayerNorm_0": _layernorm(sd, "patch_embed.norm"),
+        }
+    }
+    for i in range(n):
+        g_a[f"layer{i}"] = _basic_layer(
+            sd, f"layers.{i}", depths[i], has_downsample=i < n - 1
+        )
+    params["g_a"] = g_a
+
+    rdepths = tuple(reversed(depths))
+    g_s = {}
+    for i in range(n):
+        g_s[f"layer{i}"] = _basic_layer(
+            sd, f"syn_layers.{i}", rdepths[i], has_downsample=i < n - 1
+        )
+    g_s["up"] = {"Conv_0": _conv(sd, "end_conv.0")}
+    g_s["to_rgb"] = _conv(sd, "end_conv.2")
+    params["g_s"] = g_s
+
+    params["h_a"] = {f"Conv_{i}": _conv(sd, f"h_a.{2 * i}") for i in range(5)}
+    params["h_mean_s"] = _hyper_dec_stf(sd, "h_mean_s")
+    params["h_scale_s"] = _hyper_dec_stf(sd, "h_scale_s")
+
+    for i in range(num_slices):
+        for tag, ours in (
+            ("cc_mean_transforms", "cc_mean"),
+            ("cc_scale_transforms", "cc_scale"),
+            ("lrp_transforms", "lrp"),
+        ):
+            params[f"{ours}_{i}"] = {
+                f"Conv_{j}": _conv(sd, f"{tag}.{i}.{2 * j}") for j in range(5)
+            }
+
+    params["entropy_bottleneck"] = _entropy_bottleneck(sd, "entropy_bottleneck")
+    return params
