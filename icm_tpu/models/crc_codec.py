@@ -265,3 +265,230 @@ class CRCCodec:
         ).reshape(idx_np.shape)
         x_hat = self._human_decode(v, jnp.asarray(hy_sym), means, y_hat)
         return {"x_hat": jnp.clip(x_hat, 0.0, 1.0), "y_hat": y_hat}
+
+
+class _CharmLayerDriver:
+    """Jitted stage functions for one ZigzagCharmCoder-backed layer
+    reachable as ``getter(model)`` (e.g. ``lambda m: m.seg_coder``)."""
+
+    def __init__(self, model, scale_table_dev, getter, name: str):
+        import functools
+
+        self.model = model
+        self.name = name
+
+        @jax.jit
+        def eb_medians(v):
+            return model.apply(v, method=lambda m: getter(m).eb_medians())
+
+        @jax.jit
+        def h_a(v, y):
+            return model.apply(v, method=lambda m: getter(m).h_a(y))
+
+        @jax.jit
+        def ctx_prepare(v, z_hat):
+            return model.apply(v, method=lambda m: getter(m).ctx_prepare(z_hat))
+
+        @jax.jit
+        def latent_slices(v, y):
+            return model.apply(v, method=lambda m: getter(m).latent_slices(y))
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def slice_context(v, i, state, support):
+            mu, scale, ms = model.apply(
+                v, method=lambda m: getter(m).slice_context(i, state, support)
+            )
+            return mu, scale, build_indexes(scale, scale_table_dev), ms
+
+        @functools.partial(jax.jit, static_argnums=(1, 5))
+        def slice_code(v, i, sym_or_y, mu, mean_support, encode):
+            def f(m):
+                c = getter(m)
+                if encode:
+                    sym = jnp.round(sym_or_y - mu).astype(jnp.int32)
+                else:
+                    sym = sym_or_y
+                y_hat = sym.astype(mu.dtype) + mu
+                if c.apply_lrp:
+                    y_hat = y_hat + c.slice_lrp(i, mean_support, y_hat)
+                return sym, y_hat
+
+            return model.apply(v, method=f)
+
+        @jax.jit
+        def assemble(v, slices):
+            return model.apply(v, method=lambda m: getter(m).ctx_assemble(slices))
+
+        self.eb_medians = eb_medians
+        self.h_a = h_a
+        self.ctx_prepare = ctx_prepare
+        self.latent_slices = latent_slices
+        self.slice_context = slice_context
+        self.slice_code = slice_code
+        self.assemble = assemble
+
+    def run_loop(self, v, state, ctx_slices, support_fn, gaussian,
+                 decoder=None, y_slices=None, lut=None):
+        sym_list, idx_list, slices = [], [], []
+        for i in range(ctx_slices):
+            support = support_fn(i, slices)
+            mu, scale, index, ms = self.slice_context(v, i, state, support)
+            if decoder is None:
+                sym, y_hat = self.slice_code(v, i, y_slices[i], mu, ms, True)
+                sym_list.append(
+                    np.asarray(jax.device_get(sym)).reshape(sym.shape[0], -1)
+                )
+                idx_list.append(
+                    np.asarray(jax.device_get(index)).reshape(index.shape[0], -1)
+                )
+            else:
+                idx_np = np.asarray(jax.device_get(index))
+                sym = decoder.decode_stream(
+                    idx_np, gaussian.quantized_cdf, gaussian.cdf_length,
+                    gaussian.offset, lut=lut,
+                )
+                _, y_hat = self.slice_code(v, i, jnp.asarray(sym), mu, ms, False)
+            slices.append(y_hat)
+        return slices, sym_list, idx_list
+
+
+class SegOjCodec:
+    """Real coder for seg_oj_ICM: machine charm layer + segmentation charm
+    layer (strings = [y, z, seg_y, seg_z]); the seg layer's conditioning
+    (cat(x_hat, x)) is encoder-side only — the decoder needs just the seg
+    bitstreams plus the machine reconstruction for the residual add."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        from .base import sliding_support
+
+        self.model = model
+        self.variables = variables
+        self.tables = tables or build_codec_tables(model, variables)
+        st = jnp.asarray(self.tables.scale_table)
+        self.machine = _CharmLayerDriver(
+            model, st, lambda m: m.coder, "machine"
+        )
+        self.seg = _CharmLayerDriver(
+            model, st, lambda m: m.seg_coder, "seg"
+        )
+        self._support = sliding_support(model.max_support)
+        mdl = model
+
+        @jax.jit
+        def m_analyze(v, x):
+            return mdl.apply(v, method=lambda m: m.g_a(x))
+
+        @jax.jit
+        def m_synth(v, y_hat):
+            return mdl.apply(v, method=lambda m: m.g_s(y_hat))
+
+        @jax.jit
+        def seg_analyze(v, x, x_hat):
+            return mdl.apply(
+                v, method=lambda m: m.seg_g_a(
+                    jnp.concatenate([x_hat, x], axis=-1)
+                )
+            )
+
+        @jax.jit
+        def seg_synth(v, seg_y_hat, x_hat):
+            return mdl.apply(
+                v, method=lambda m: m.seg_g_s(seg_y_hat) + x_hat
+            )
+
+        self._m_analyze = m_analyze
+        self._m_synth = m_synth
+        self._seg_analyze = seg_analyze
+        self._seg_synth = seg_synth
+
+    def _code_z(self, sym, key):
+        t = self.tables.bottlenecks[key]
+        B, h, w, C = sym.shape
+        idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
+        return coding.encode_batch(
+            sym.reshape(B, -1), idx, t.quantized_cdf, t.cdf_length, t.offset
+        )
+
+    def _decode_z(self, strings, shape_hw, key):
+        t = self.tables.bottlenecks[key]
+        h, w = shape_hw
+        C = t.num_distributions
+        B = len(strings)
+        idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
+        sym = coding.decode_batch(
+            strings, idx, t.quantized_cdf, t.cdf_length, t.offset
+        )
+        return sym.reshape(B, h, w, C)
+
+    def _encode_layer(self, driver, v, y, z_key):
+        z = driver.h_a(v, y)
+        med = driver.eb_medians(v)
+        z_sym = np.asarray(jax.device_get(jnp.round(z - med).astype(jnp.int32)))
+        z_strings = self._code_z(z_sym, z_key)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        state = driver.ctx_prepare(v, z_hat)
+        y_slices = driver.latent_slices(v, y)
+        gt = self.tables.gaussian
+        slices, sym_list, idx_list = driver.run_loop(
+            v, state, self.model.num_slices * 4, self._support, gt,
+            decoder=None, y_slices=y_slices,
+        )
+        y_strings = coding.encode_batch(
+            np.concatenate(sym_list, axis=1),
+            np.concatenate(idx_list, axis=1),
+            gt.quantized_cdf, gt.cdf_length, gt.offset,
+        )
+        return y_strings, z_strings, driver.assemble(v, slices), z.shape[1:3]
+
+    def _decode_layer(self, driver, v, y_strings, z_strings, shape_hw, z_key):
+        z_sym = self._decode_z(z_strings, shape_hw, z_key)
+        med = driver.eb_medians(v)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        state = driver.ctx_prepare(v, z_hat)
+        gt = self.tables.gaussian
+        decoder = coding.BatchRansDecoder(y_strings)
+        slices, _, _ = driver.run_loop(
+            v, state, self.model.num_slices * 4, self._support, gt,
+            decoder=decoder, lut=gt.symbol_lut(),
+        )
+        return driver.assemble(v, slices)
+
+    def compress(self, x, return_debug: bool = False):
+        v = self.variables
+        y = self._m_analyze(v, x)
+        y_strings, z_strings, y_hat, m_shape = self._encode_layer(
+            self.machine, v, y, "entropy_bottleneck"
+        )
+        x_hat = self._m_synth(v, y_hat)
+        seg_y = self._seg_analyze(v, x, x_hat)
+        sy_strings, sz_strings, seg_y_hat, s_shape = self._encode_layer(
+            self.seg, v, seg_y, "seg_entropy_bottleneck"
+        )
+        out = {
+            "strings": [y_strings, z_strings, sy_strings, sz_strings],
+            "shape": tuple(int(d) for d in m_shape),
+            "seg_shape": tuple(int(d) for d in s_shape),
+        }
+        if return_debug:
+            out["y_hat"] = y_hat
+            out["seg_y_hat"] = seg_y_hat
+            out["x_hat"] = self._seg_synth(v, seg_y_hat, x_hat)
+        return out
+
+    def decompress(self, strings, shape, seg_shape):
+        v = self.variables
+        y_strings, z_strings, sy_strings, sz_strings = strings
+        y_hat = self._decode_layer(
+            self.machine, v, y_strings, z_strings, shape, "entropy_bottleneck"
+        )
+        x_hat_m = self._m_synth(v, y_hat)
+        seg_y_hat = self._decode_layer(
+            self.seg, v, sy_strings, sz_strings, seg_shape,
+            "seg_entropy_bottleneck",
+        )
+        x_hat = self._seg_synth(v, seg_y_hat, x_hat_m)
+        return {
+            "x_hat": jnp.clip(x_hat, 0.0, 1.0),
+            "y_hat": y_hat,
+            "seg_y_hat": seg_y_hat,
+        }

@@ -106,3 +106,21 @@ def test_oj_icm_codec_roundtrip():
         np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
     )
     assert dec["x_hat"].shape == x.shape
+
+
+def test_seg_oj_icm_layered_codec_roundtrip():
+    from icm_tpu.models.crc_codec import SegOjCodec
+
+    model = create_model("seg_oj_ICM", **TINY_CODEC, with_task_net=False)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(_rngs(), x)
+    codec = SegOjCodec(model, variables)
+    enc = codec.compress(x, return_debug=True)
+    assert len(enc["strings"]) == 4
+    dec = codec.decompress(enc["strings"], enc["shape"], enc["seg_shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["seg_y_hat"]), np.asarray(enc["seg_y_hat"])
+    )
