@@ -8,6 +8,7 @@ maps name -> (flax module class, default kwargs).
 from .base import CompressionModel, CodecTables
 from .cnn import WACNN
 from .codec import CharmCodec, build_codec_tables
+from .crc_codec import CRCCodec, SegOjCodec
 from .stf import SymmetricalTransFormer
 from .stf_family import (
     STF5_CONFIG,
@@ -66,6 +67,8 @@ __all__ = [
     "CodecTables",
     "WACNN",
     "CharmCodec",
+    "CRCCodec",
+    "SegOjCodec",
     "build_codec_tables",
     "models",
     "create_model",
