@@ -336,3 +336,42 @@ def stack_charm_params(
             }
         out[tag] = layers
     return {"charm_scan": out}
+
+
+def unstack_charm_params(
+    stacked: dict,
+    num_slices: int,
+    slice_ch: int,
+    max_support: int,
+    cond_width: int,
+) -> dict:
+    """Inverse of :func:`stack_charm_params`: split the ``charm_scan``
+    stacked subtree back into per-slice ``cc_mean_{i}``/``cc_scale_{i}``/
+    ``lrp_{i}`` params (slicing away the zero-padded support channels), so
+    scan-trained checkpoints drive the real-bitstream coder."""
+    import numpy as np
+
+    sub = stacked["charm_scan"]
+    out: dict = {}
+    for tag in ("cc_mean", "cc_scale", "lrp"):
+        for i in range(num_slices):
+            layers = {}
+            for ln, p in sub[tag].items():
+                k = np.asarray(p["kernel"][i])
+                if ln == "Conv_0":
+                    if tag == "lrp":
+                        sup_w = slice_ch * min(i + 1, max_support + 1)
+                        kept = np.concatenate(
+                            [
+                                k[:, :, : cond_width + sup_w - slice_ch],
+                                k[:, :, -slice_ch:],
+                            ],
+                            axis=2,
+                        )
+                    else:
+                        sup_w = slice_ch * min(i, max_support)
+                        kept = k[:, :, : cond_width + sup_w]
+                    k = kept
+                layers[ln] = {"kernel": k, "bias": np.asarray(p["bias"][i])}
+            out[f"{tag}_{i}"] = layers
+    return out

@@ -84,3 +84,30 @@ def test_scan_trains(tmp_path):
     g = jax.grad(loss)(v["params"])
     k = g["charm_scan"]["cc_mean"]["Conv_0"]["kernel"]
     assert np.any(np.asarray(k) != 0)
+
+
+def test_unstack_roundtrip():
+    """unrolled -> stacked -> unrolled is identity (with zero padding the
+    only lossy part, which carries no information)."""
+    from icm_tpu.models.cnn import unstack_charm_params
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}
+    unrolled = WACNN(**TINY)
+    vu = unrolled.init(rngs, x)
+    sc = TINY["M"] // TINY["num_slices"]
+    stacked = stack_charm_params(
+        dict(vu["params"]), TINY["num_slices"], sc,
+        TINY["max_support_slices"], TINY["hyper_dec_widths"][-1],
+    )
+    back = unstack_charm_params(
+        stacked, TINY["num_slices"], sc,
+        TINY["max_support_slices"], TINY["hyper_dec_widths"][-1],
+    )
+    for tag in ("cc_mean", "cc_scale", "lrp"):
+        for i in range(TINY["num_slices"]):
+            for ln in back[f"{tag}_{i}"]:
+                np.testing.assert_array_equal(
+                    back[f"{tag}_{i}"][ln]["kernel"],
+                    np.asarray(vu["params"][f"{tag}_{i}"][ln]["kernel"]),
+                )
