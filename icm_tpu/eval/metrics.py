@@ -189,11 +189,15 @@ def compute_map(
             # monotone precision envelope + 101-point interpolation
             for i in range(len(precision) - 1, 0, -1):
                 precision[i - 1] = max(precision[i - 1], precision[i])
-            idx = np.searchsorted(recall, rec_thrs, side="left")
-            prec_at = np.where(idx < len(precision), precision[np.minimum(
-                idx, max(0, len(precision) - 1))], 0.0)
             if len(precision) == 0:
                 prec_at = np.zeros_like(rec_thrs)
+            else:
+                idx = np.searchsorted(recall, rec_thrs, side="left")
+                prec_at = np.where(
+                    idx < len(precision),
+                    precision[np.minimum(idx, len(precision) - 1)],
+                    0.0,
+                )
             ap_per_iou[ti].append(prec_at.mean())
 
     if not ap_per_iou:

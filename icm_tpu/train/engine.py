@@ -90,7 +90,11 @@ def run_training(
         best_loss = float(meta.get("best_loss", best_loss))
         print(f"resumed from {checkpoint} at epoch {start_epoch}")
 
-    step_fn = make_step(model, criterion)
+    extra_vars = {k: v for k, v in variables.items() if k != "params"}
+    try:
+        step_fn = make_step(model, criterion, extra_vars=extra_vars)
+    except TypeError:
+        step_fn = make_step(model, criterion)
     batch_dim = (
         init_batch[0].shape[0]
         if isinstance(init_batch, tuple)
@@ -135,7 +139,9 @@ def run_training(
                     if make_eval is None:
                         from .steps import make_eval_step
 
-                        eval_fn = jax.jit(make_eval_step(model, criterion))
+                        eval_fn = jax.jit(
+                            make_eval_step(model, criterion, extra_vars)
+                        )
                     else:
                         eval_fn = jax.jit(make_eval(model, criterion))
                 m = jax.device_get(eval_fn(state.params, jax.numpy.asarray(

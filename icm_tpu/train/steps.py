@@ -18,15 +18,23 @@ import jax.numpy as jnp
 from .losses import RateDistortionLoss
 
 
-def make_train_step(model, criterion: RateDistortionLoss, aux_weight: float = 1.0):
-    """Returns step(state, batch, rng) -> (state, metrics)."""
+def make_train_step(
+    model,
+    criterion: RateDistortionLoss,
+    aux_weight: float = 1.0,
+    extra_vars: dict | None = None,
+):
+    """Returns step(state, batch, rng) -> (state, metrics). ``extra_vars``:
+    non-trainable collections (e.g. frozen task-net batch_stats)."""
+    extra = dict(extra_vars or {})
 
     def loss_fn(params, batch, rng):
         out = model.apply(
-            {"params": params}, batch, training=True, rngs={"noise": rng}
+            {"params": params, **extra}, batch, training=True,
+            rngs={"noise": rng},
         )
         rd = criterion(out, batch)
-        aux = model.apply({"params": params}, method=model.aux_loss)
+        aux = model.apply({"params": params, **extra}, method=model.aux_loss)
         total = rd["loss"] + aux_weight * aux
         metrics = {**rd, "aux_loss": aux}
         return total, metrics
@@ -42,9 +50,11 @@ def make_train_step(model, criterion: RateDistortionLoss, aux_weight: float = 1.
     return step
 
 
-def make_eval_step(model, criterion: RateDistortionLoss):
+def make_eval_step(model, criterion: RateDistortionLoss, extra_vars=None):
+    extra = dict(extra_vars or {})
+
     def step(params, batch):
-        out = model.apply({"params": params}, batch, training=False)
+        out = model.apply({"params": params, **extra}, batch, training=False)
         rd = criterion(out, batch)
         psnr = -10.0 * jnp.log10(jnp.mean((out["x_hat"] - batch) ** 2))
         return {**rd, "psnr": psnr}

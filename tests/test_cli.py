@@ -93,3 +93,73 @@ def test_eval_cli_image_mode(image_root, capsys):
     assert agg["bpp"] > 0 and np.isfinite(agg["psnr"])
     out = capsys.readouterr().out
     assert "average:" in out
+
+
+TINY_TASKS = json.dumps(
+    dict(
+        N=16, M=24, mid=32, num_slices=2, max_support=4, support_num=8,
+        hyper_enc_widths=[24, 20, 16, 14, 12],
+        hyper_dec_widths=[14, 16, 20, 24, 24],
+        cc_widths=[20, 12],
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("coco")
+    (root / "val2017").mkdir()
+    (root / "annotations").mkdir()
+    rng = np.random.default_rng(0)
+    images, anns = [], []
+    for i in range(2):
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "val2017" / f"im{i}.jpg")
+        images.append(
+            {"id": i, "file_name": f"im{i}.jpg", "height": 64, "width": 64}
+        )
+        anns.append(
+            {
+                "id": i, "image_id": i, "category_id": 1,
+                "bbox": [8, 8, 24, 16], "area": 384, "iscrowd": 0,
+                "segmentation": [[8, 8, 32, 8, 32, 24, 8, 24]],
+            }
+        )
+    cats = [{"id": 1, "name": "person"}]
+    with open(root / "annotations" / "instances_val2017.json", "w") as f:
+        json.dump(
+            {"images": images, "annotations": anns, "categories": cats}, f
+        )
+    return str(root)
+
+
+def test_eval_cli_detection_mode(coco_root):
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import main
+
+    kw = json.loads(TINY_CNN)
+    kw.update(num_classes=3, task_block="basic", task_layers=[1, 1, 1, 1])
+    res = main(
+        [
+            "detection", "-d", coco_root, "-m", "cnn2",
+            "--model-kwargs", json.dumps(kw), "--max-images", "1",
+        ]
+    )
+    assert set(res) == {"mAP", "AP50", "AP75"}
+
+
+def test_eval_cli_segmentation_mode(coco_root):
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import main
+
+    kw = json.loads(TINY_TASKS)
+    kw.update(num_seg_classes=5, task_backbone="resnet18")
+    res = main(
+        [
+            "segmentation", "-d", coco_root, "-m", "stf10",
+            "--model-kwargs", json.dumps(kw), "--max-images", "1",
+        ]
+    )
+    assert 0.0 <= res["mIoU"] <= 1.0

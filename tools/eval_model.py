@@ -59,13 +59,13 @@ def load_model_and_params(args, example):
         "noise": jax.random.PRNGKey(1),
         "dropout": jax.random.PRNGKey(2),
     }
-    variables = jax.jit(model.init)(rngs, *example)
+    variables = dict(jax.jit(model.init)(rngs, *example))
     if args.checkpoint:
         from icm_tpu.train import TrainState, make_optimizer
 
         state = TrainState.create(variables["params"], make_optimizer())
         state, _ = load_checkpoint(args.checkpoint, target=state)
-        variables = {"params": state.params}
+        variables["params"] = state.params
         print(f"loaded checkpoint {args.checkpoint}")
     return model, variables
 
@@ -122,7 +122,7 @@ def eval_image(args):
             bpp = bits / num_pixels
             x_hat = dec["x_hat"]
         else:
-            out = model.apply({"params": variables["params"]}, x, training=False)
+            out = model.apply(variables, x, training=False)
             bpp = float(compute_bpp(out["likelihoods"], num_pixels))
             x_hat = jnp.clip(out["x_hat"], 0, 1)
             t_enc = t_dec = 0.0
@@ -166,8 +166,7 @@ def eval_detection(args):
         s = ds[i]
         padded, (H, W) = pad_to_multiple(s["img"], 64)
         out = model.apply(
-            {"params": variables["params"]}, jnp.asarray(padded[None]),
-            training=False,
+            variables, jnp.asarray(padded[None]), training=False,
         )
         if out.get("Student_classification") is not None:
             cls = out["Student_classification"]
@@ -198,26 +197,28 @@ def eval_segmentation(args):
     import jax.numpy as jnp
 
     from icm_tpu.data import COCOSegmentation
+    from icm_tpu.data.transforms import pad_to_multiple
     from icm_tpu.eval import SegmentationMetric
 
     ds = COCOSegmentation(args.dataset, split="val")
     img0, _ = ds[0]
-    model, variables = load_model_and_params(args, (jnp.asarray(img0[None]),))
+    x0 = pad_to_multiple(img0, 64)[0][None]
+    model, variables = load_model_and_params(args, (jnp.asarray(x0),))
 
     metric = SegmentationMetric(ds.NUM_CLASS)
     n = min(len(ds), args.max_images or len(ds))
     for i in range(n):
         img, mask = ds[i]
+        padded, (H, W) = pad_to_multiple(img, 64)
         out = model.apply(
-            {"params": variables["params"]}, jnp.asarray(img[None]),
-            training=False,
+            variables, jnp.asarray(padded[None]), training=False,
         )
         logits = out.get("Student_output")
         if logits is None:
             raise SystemExit(
                 f"model {args.model} does not produce segmentation outputs"
             )
-        metric.update(np.asarray(logits[0]), mask)
+        metric.update(np.asarray(logits[0, :H, :W]), mask)
         pix, miou = metric.get()
         print(f"[{i + 1}/{n}] pixAcc={pix:.4f} mIoU={miou:.4f}")
 
