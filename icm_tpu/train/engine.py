@@ -40,6 +40,34 @@ class AverageMeter:
         return self.sum / max(1, self.count)
 
 
+def run_training_with_recovery(max_retries: int = 2, **kwargs):
+    """Failure detection / crash recovery around ``run_training`` — the
+    reference has none (SURVEY.md §5.3: crashes lose the epoch). On an
+    exception mid-training, resume from the last best checkpoint (if a
+    save path was given) up to ``max_retries`` times."""
+    save_path = kwargs.get("save_path")
+    retries = 0
+    while True:
+        try:
+            return run_training(**kwargs)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001
+            retries += 1
+            if retries > max_retries or not save_path:
+                raise
+            import os
+
+            if os.path.exists(save_path):
+                kwargs["checkpoint"] = save_path
+            print(
+                f"[recovery] training failed ({type(e).__name__}: "
+                f"{str(e)[:120]}); resuming from "
+                f"{kwargs.get('checkpoint')} (retry {retries}/{max_retries})",
+                flush=True,
+            )
+
+
 def run_training(
     *,
     model,

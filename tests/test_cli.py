@@ -163,3 +163,46 @@ def test_eval_cli_segmentation_mode(coco_root):
         ]
     )
     assert 0.0 <= res["mIoU"] <= 1.0
+
+
+def test_recovery_wrapper_resumes(tmp_path, image_root):
+    """run_training_with_recovery restarts from the checkpoint after a
+    mid-training crash."""
+    import jax
+
+    from icm_tpu.models import WACNN
+    from icm_tpu.train import RateDistortionLoss, make_train_step
+    from icm_tpu.train.engine import run_training_with_recovery
+
+    model = WACNN(**json.loads(TINY_CNN))
+    save = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def train_batches(epoch):
+        from icm_tpu.data import ImageFolder, batch_iterator
+        from icm_tpu.data.transforms import center_crop
+
+        ds = ImageFolder(image_root, "train", lambda im: center_crop(im, (64, 64)))
+        calls["n"] += 1
+        if calls["n"] == 2:  # crash during the 2nd epoch's pipeline
+            raise RuntimeError("injected failure")
+        yield from batch_iterator(ds, 2, shuffle=False, epochs=1)
+
+    def eval_batches():
+        return iter(())
+
+    init_batch = next(iter(train_batches(0)))
+    calls["n"] = 0
+    _, history = run_training_with_recovery(
+        max_retries=1,
+        model=model,
+        criterion=RateDistortionLoss(0.01),
+        make_step=make_train_step,
+        train_batches=train_batches,
+        eval_batches=eval_batches,
+        init_batch=init_batch,
+        epochs=3,
+        save_path=save,
+        make_eval=False,
+    )
+    assert len(history) >= 1
