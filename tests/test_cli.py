@@ -206,3 +206,37 @@ def test_recovery_wrapper_resumes(tmp_path, image_root):
         make_eval=False,
     )
     assert len(history) >= 1
+
+
+def test_train_oj_cli_smoke(image_root, tmp_path):
+    sys.path.insert(0, os.getcwd())
+    from tools.train_oj import main
+
+    kw = json.loads(TINY_TASKS)
+    kw.update(task_layers=[1, 1, 1, 1])
+    main(
+        [
+            "-d", image_root, "--model-kwargs", json.dumps(kw),
+            "-e", "1", "--batch-size", "2", "--test-batch-size", "2",
+            "--patch-size", "64", "64", "--steps-per-epoch", "1",
+            "--save", str(tmp_path / "oj"),
+        ]
+    )
+    assert os.path.exists(str(tmp_path / "oj"))
+
+
+def test_train_seg_oj_cli_smoke(image_root, tmp_path):
+    sys.path.insert(0, os.getcwd())
+    from tools.train_seg_oj import main
+
+    kw = json.loads(TINY_TASKS)
+    kw.update(task_layers=[1, 1, 1, 1])
+    main(
+        [
+            "-d", image_root, "--model-kwargs", json.dumps(kw),
+            "-e", "1", "--batch-size", "2", "--test-batch-size", "2",
+            "--patch-size", "64", "64", "--steps-per-epoch", "1",
+            "--save", str(tmp_path / "segoj"),
+        ]
+    )
+    assert os.path.exists(str(tmp_path / "segoj"))
