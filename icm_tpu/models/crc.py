@@ -293,30 +293,24 @@ class ResidualCoding(CompressionModel):
         self.g_s1 = MainCNNDecoderPart1(self.N, self.M, self.mid)
         self.g_s2 = MainCNNDecoderPart2(self.N, self.mid)
         self.human_g_s2 = MainCNNDecoder(self.N, self.M, self.mid)
+        self.human_g_a = _HumanEncoder(self.N, self.M)
+        self.human_g_s = _HumanDecoder(self.N)
         self.human_hyper = _SimpleHyper(
             enc_widths=self.hyper_enc_widths, dec_widths=self.hyper_dec_widths
         )
 
-    @nn.compact
     def __call__(self, x, training: bool = True):
         y_hat, m_lik = self.machine.encode_code(x, training=training)
         decompress_image = self.g_s2(self.g_s1(y_hat))
 
         cond_image = self.human_g_s2(y_hat)
         residual1 = cond_image - x  # reference stf14.py:1133
-        h = residual1
-        for w, k in ((self.N, 5), (self.N, 5), (self.N, 5), (self.M, 5)):
-            h = conv(w, kernel_size=k, stride=2)(h)
-            if w != self.M:
-                h = jax.nn.gelu(h)
-        human_y_hat, h_lik = self.human_hyper.code(h, training=training)
-
-        d = human_y_hat
-        for w, last in ((self.N, False), (self.N, False), (self.N, False), (3, True)):
-            d = deconv(w, 5, 2)(d)
-            if not last:
-                d = jax.nn.gelu(d)
-        human_deimage = d + residual1
+        human_y, _ = self.human_encode(x, y_hat)
+        human_y_hat, h_lik = self.human_hyper.code(human_y, training=training)
+        # reference training path adds the ENCODER-side residual back
+        # (stf14.py:1157) — kept for parity; the decodable reconstruction
+        # is human_synthesize below (x_hat = cond - r_hat).
+        human_deimage = self.human_g_s(human_y_hat) + residual1
 
         return {
             "x_hat": human_deimage,
@@ -325,6 +319,23 @@ class ResidualCoding(CompressionModel):
             "likelihoods": h_lik,
             "machine_likelihoods": m_lik,
         }
+
+    # --- coder-facing stages: the decodable interpretation ------------------
+    def human_encode(self, x, y_hat):
+        cond_image = self.human_g_s2(y_hat)
+        residual1 = cond_image - x
+        human_y = self.human_g_a(residual1)
+        return human_y, self.human_hyper.h_a(human_y)
+
+    def human_eb_medians(self):
+        return self.human_hyper.entropy_bottleneck.medians()[:, 0, 0]
+
+    def human_synthesize(self, human_y_hat, y_hat):
+        """Decoder-side reconstruction: x_hat = cond - r_hat (the reference
+        training formula adds the encoder-side residual, stf14.py:1157,
+        which a real decoder cannot have)."""
+        cond_image = self.human_g_s2(y_hat)
+        return cond_image - self.human_g_s(human_y_hat)
 
     def aux_loss(self):
         return (
@@ -337,6 +348,90 @@ class ResidualCoding(CompressionModel):
             "entropy_bottleneck": self.machine.coder.entropy_bottleneck,
             "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck,
         }
+
+
+class _StrideConvPair(nn.Module):
+    """conv k,s2 + GELU + conv k,s2 (stf12 human_g_a1 / stf13 seg_g_a1)."""
+
+    N: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, h):
+        h = conv(self.N, kernel_size=self.kernel, stride=2)(h)
+        h = jax.nn.gelu(h)
+        return conv(self.N, kernel_size=self.kernel, stride=2)(h)
+
+
+class _EncTail(nn.Module):
+    """conv N,5,2 + GELU + conv M,5,2 + GELU [+ WinAttn]
+    (stf12 human_g_a2 / stf13 seg_g_a2)."""
+
+    N: int
+    M: int
+    with_attn: bool = True
+
+    @nn.compact
+    def __call__(self, h):
+        h = conv(self.N, kernel_size=5, stride=2)(h)
+        h = jax.nn.gelu(h)
+        h = conv(self.M, kernel_size=5, stride=2)(h)
+        h = jax.nn.gelu(h)
+        if self.with_attn:
+            h = Win_noShift_Attention(
+                self.M, num_heads=8, window_size=4, shift_size=2
+            )(h)
+        return h
+
+
+class _DecHead(nn.Module):
+    """WinAttn(2M) + GELU + deconv N + GELU + deconv N (stf12 human_g_s1)."""
+
+    N: int
+    M: int
+
+    @nn.compact
+    def __call__(self, d):
+        d = Win_noShift_Attention(
+            2 * self.M, num_heads=8, window_size=4, shift_size=2
+        )(d)
+        d = jax.nn.gelu(d)
+        d = deconv(self.N, 3, 2)(d)
+        d = jax.nn.gelu(d)
+        return deconv(self.N, 3, 2)(d)
+
+
+class _DecTail(nn.Module):
+    """deconv N + GELU + conv N s1 + GELU + deconv 3 (stf12/13 human_g_s2)."""
+
+    N: int
+    out_ch: int = 3
+
+    @nn.compact
+    def __call__(self, d):
+        d = deconv(self.N, 3, 2)(d)
+        d = jax.nn.gelu(d)
+        d = conv(self.N, kernel_size=3, stride=1)(d)
+        d = jax.nn.gelu(d)
+        return deconv(self.out_ch, 3, 2)(d)
+
+
+class _SubpelContext(nn.Module):
+    """conv M x2 + subpel x2 -> N at image scale (stf12
+    human_context_decoder2, stf12.py:888-901)."""
+
+    N: int
+    M: int
+
+    @nn.compact
+    def __call__(self, y_hat):
+        c = conv(self.M, kernel_size=3, stride=1)(y_hat)
+        c = jax.nn.gelu(c)
+        c = conv(self.M, kernel_size=3, stride=1)(c)
+        c = jax.nn.gelu(c)
+        c = SubpelConv(self.N, r=2)(c)
+        c = jax.nn.gelu(c)
+        return SubpelConv(self.N, r=2)(c)
 
 
 class ConditionalResidualCoding2(CompressionModel):
@@ -368,55 +463,19 @@ class ConditionalResidualCoding2(CompressionModel):
             enc_widths=self.hyper_enc_widths, dec_widths=self.hyper_dec_widths
         )
         self.human_context_decoder = _ConvStack(self.M, 5)
+        self.human_g_a1 = _StrideConvPair(self.N, kernel=3)
+        self.human_g_a2 = _EncTail(self.N, self.M, with_attn=True)
+        self.human_g_s1 = _DecHead(self.N, self.M)
+        self.human_g_s2 = _DecTail(self.N)
+        self.human_context_decoder2 = _SubpelContext(self.N, self.M)
 
-    @nn.compact
     def __call__(self, x, training: bool = True):
-        N, M = self.N, self.M
         y_hat, m_lik = self.machine.encode_code(x, training=training)
         decompress_image = self.g_s2(self.g_s1(y_hat))
 
-        cond_img = self.human_g_enc2(y_hat)
-        cond_quarter = self.human_g_enc3(y_hat)
-
-        residual1 = x - cond_img
-        h1 = jnp.concatenate([x, residual1], axis=-1)
-        h1 = conv(N, kernel_size=3, stride=2)(h1)
-        h1 = jax.nn.gelu(h1)
-        human_y_1 = conv(N, kernel_size=3, stride=2)(h1)
-
-        residual2 = human_y_1 - cond_quarter
-        h2 = jnp.concatenate([human_y_1, residual2], axis=-1)
-        h2 = conv(N, kernel_size=5, stride=2)(h2)
-        h2 = jax.nn.gelu(h2)
-        h2 = conv(M, kernel_size=5, stride=2)(h2)
-        h2 = jax.nn.gelu(h2)
-        human_y = Win_noShift_Attention(M, num_heads=8, window_size=4, shift_size=2)(h2)
-
+        human_y, _ = self.human_encode(x, y_hat)
         human_y_hat, h_lik = self.human_hyper.code(human_y, training=training)
-
-        context = self.human_context_decoder(y_hat)
-        d = jnp.concatenate([human_y_hat, context], axis=-1)
-        d = Win_noShift_Attention(2 * M, num_heads=8, window_size=4, shift_size=2)(d)
-        d = jax.nn.gelu(d)
-        d = deconv(N, 3, 2)(d)
-        d = jax.nn.gelu(d)
-        human_deimage1 = deconv(N, 3, 2)(d) + cond_quarter
-
-        # second context decoder: convs + 2x subpel x2 to image scale
-        c2 = conv(M, kernel_size=3, stride=1)(y_hat)
-        c2 = jax.nn.gelu(c2)
-        c2 = conv(M, kernel_size=3, stride=1)(c2)
-        c2 = jax.nn.gelu(c2)
-        c2 = SubpelConv(N, r=2)(c2)
-        c2 = jax.nn.gelu(c2)
-        context2 = SubpelConv(N, r=2)(c2)
-
-        d2 = jnp.concatenate([human_deimage1, context2], axis=-1)
-        d2 = deconv(N, 3, 2)(d2)
-        d2 = jax.nn.gelu(d2)
-        d2 = conv(N, kernel_size=3, stride=1)(d2)
-        d2 = jax.nn.gelu(d2)
-        human_deimage = deconv(3, 3, 2)(d2) + cond_img
+        human_deimage = self.human_synthesize(human_y_hat, y_hat)
 
         return {
             "x_hat": human_deimage,
@@ -425,6 +484,33 @@ class ConditionalResidualCoding2(CompressionModel):
             "likelihoods": h_lik,
             "machine_likelihoods": m_lik,
         }
+
+    # --- coder-facing stages (crc_codec) ------------------------------------
+    def human_encode(self, x, y_hat):
+        cond_img = self.human_g_enc2(y_hat)
+        cond_quarter = self.human_g_enc3(y_hat)
+        residual1 = x - cond_img
+        human_y_1 = self.human_g_a1(jnp.concatenate([x, residual1], axis=-1))
+        residual2 = human_y_1 - cond_quarter
+        human_y = self.human_g_a2(
+            jnp.concatenate([human_y_1, residual2], axis=-1)
+        )
+        return human_y, self.human_hyper.h_a(human_y)
+
+    def human_eb_medians(self):
+        return self.human_hyper.entropy_bottleneck.medians()[:, 0, 0]
+
+    def human_synthesize(self, human_y_hat, y_hat):
+        cond_img = self.human_g_enc2(y_hat)
+        cond_quarter = self.human_g_enc3(y_hat)
+        context = self.human_context_decoder(y_hat)
+        d1 = self.human_g_s1(
+            jnp.concatenate([human_y_hat, context], axis=-1)
+        ) + cond_quarter
+        context2 = self.human_context_decoder2(y_hat)
+        return self.human_g_s2(
+            jnp.concatenate([d1, context2], axis=-1)
+        ) + cond_img
 
     def aux_loss(self):
         return (
@@ -437,6 +523,48 @@ class ConditionalResidualCoding2(CompressionModel):
             "entropy_bottleneck": self.machine.coder.entropy_bottleneck,
             "entropy_bottleneck_human": self.human_hyper.entropy_bottleneck,
         }
+
+
+class _DeconvPair(nn.Module):
+    """deconv N + GELU + deconv N (stf13 human_g_s1_2)."""
+
+    N: int
+
+    @nn.compact
+    def __call__(self, d):
+        d = deconv(self.N, 3, 2)(d)
+        d = jax.nn.gelu(d)
+        return deconv(self.N, 3, 2)(d)
+
+
+class _DeconvContext(nn.Module):
+    """conv N s1 + GELU + deconv N x2 (stf13 human_context_decoder2_2/4,
+    stf13.py:276-305): M-latent -> N at image scale."""
+
+    N: int
+
+    @nn.compact
+    def __call__(self, y_hat):
+        c = conv(self.N, kernel_size=3, stride=1)(y_hat)
+        c = jax.nn.gelu(c)
+        c = deconv(self.N, 3, 2)(c)
+        c = jax.nn.gelu(c)
+        return deconv(self.N, 3, 2)(c)
+
+
+class _MaskNet(nn.Module):
+    """conv3x3 stack + channel softmax (stf13 generate_mask_scale1/2,
+    stf13.py:203-219)."""
+
+    widths: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, h):
+        for i, w in enumerate(self.widths):
+            if i > 0:
+                h = jax.nn.gelu(h)
+            h = conv3x3(w)(h)
+        return jax.nn.softmax(h, axis=-1)
 
 
 class ConditionalResidualCoding3(CompressionModel):
@@ -489,95 +617,30 @@ class ConditionalResidualCoding3(CompressionModel):
         )
         self.human_context_decoder = _ConvStack(M, 2)
         self.human_context_decoder3 = _ConvStack(M, 2)
+        self.seg_g_a1 = _StrideConvPair(N, kernel=3)
+        self.seg_g_a2 = _EncTail(N, M, with_attn=True)
+        self.human_g_a1_2 = _StrideConvPair(N, kernel=3)
+        self.human_g_a2_2 = _EncTail(N, M, with_attn=False)
+        self.generate_mask_scale1 = _MaskNet((12, 12, 9))
+        self.generate_mask_scale2 = _MaskNet((4 * N, 4 * N, 3 * N))
+        self.human_context_decoder2_2 = _DeconvContext(N)
+        self.human_context_decoder4 = _DeconvContext(N)
+        self.human_g_s1_2 = _DeconvPair(N)
+        self.human_g_s2_2 = _DecTail(N)
 
-    @nn.compact
     def __call__(self, x, training: bool = True):
-        N, M = self.N, self.M
         y_hat, m_lik = self.machine.encode_code(x, training=training)
         x_hat_machine = self.g_s(y_hat)
 
         # --- segmentation layer (stf13.py:556-636) -------------------------
-        seg_cond_img = self.seg_g_enc2(y_hat)
-        seg_cond_quarter = self.seg_g_enc3(y_hat)
-        s1 = jnp.concatenate([x, seg_cond_img], axis=-1)
-        s1 = conv(N, kernel_size=3, stride=2)(s1)
-        s1 = jax.nn.gelu(s1)
-        seg_y_1 = conv(N, kernel_size=3, stride=2)(s1)
-        s2 = jnp.concatenate([seg_y_1, seg_cond_quarter], axis=-1)
-        s2 = conv(N, kernel_size=5, stride=2)(s2)
-        s2 = jax.nn.gelu(s2)
-        s2 = conv(M, kernel_size=5, stride=2)(s2)
-        s2 = jax.nn.gelu(s2)
-        seg_y = Win_noShift_Attention(M, num_heads=8, window_size=4, shift_size=2)(s2)
+        seg_y = self.seg_encode(x, y_hat)
         seg_y_hat, seg_lik = self.seg_coder.code(seg_y, training=training)
         seg_x_hat = self.seg_g_s(seg_y_hat)
 
         # --- human layer with masked fusion (stf13.py:641-699) -------------
-        dec2 = self.human_g_enc2(y_hat)
-        cond2 = self.human_g_enc3(y_hat)
-        dec3 = self.human_g_enc4(seg_y_hat)
-        cond4 = self.human_g_enc5(seg_y_hat)
-
-        m1 = jnp.concatenate([dec2, dec3], axis=-1)
-        m1 = conv3x3(12)(m1)
-        m1 = jax.nn.gelu(m1)
-        m1 = conv3x3(12)(m1)
-        m1 = jax.nn.gelu(m1)
-        m1 = conv3x3(9)(m1)
-        mask1 = jax.nn.softmax(m1, axis=-1)
-        mask_obj1, mask_seg1 = mask1[..., 0:3], mask1[..., 3:6]
-
-        residual1 = x - mask_obj1 * dec2 - mask_seg1 * dec3
-        h1 = jnp.concatenate([residual1, dec2, dec3], axis=-1)
-        h1 = conv(N, kernel_size=3, stride=2)(h1)
-        h1 = jax.nn.gelu(h1)
-        human_y_1 = conv(N, kernel_size=3, stride=2)(h1)
-
-        m2 = jnp.concatenate([cond2, cond4], axis=-1)
-        m2 = conv3x3(4 * N)(m2)
-        m2 = jax.nn.gelu(m2)
-        m2 = conv3x3(4 * N)(m2)
-        m2 = jax.nn.gelu(m2)
-        m2 = conv3x3(3 * N)(m2)
-        mask2 = jax.nn.softmax(m2, axis=-1)
-        mask_obj2, mask_seg2 = mask2[..., 0:N], mask2[..., N : 2 * N]
-
-        residual2 = human_y_1 - mask_obj2 * cond2 - mask_seg2 * cond4
-        h2 = jnp.concatenate([residual2, cond2, cond4], axis=-1)
-        h2 = conv(N, kernel_size=5, stride=2)(h2)
-        h2 = jax.nn.gelu(h2)
-        h2 = conv(M, kernel_size=5, stride=2)(h2)
-        human_y = jax.nn.gelu(h2)
-
+        human_y = self.human_encode(x, y_hat, seg_y_hat)
         human_y_hat, h_lik = self.human_hyper.code(human_y, training=training)
-
-        context = self.human_context_decoder(y_hat)
-        context3 = self.human_context_decoder3(seg_y_hat)
-        # 1/4-scale context decoders (stf13.py:276-305)
-        c2 = conv(N, kernel_size=3, stride=1)(y_hat)
-        c2 = jax.nn.gelu(c2)
-        c2 = deconv(N, 3, 2)(c2)
-        c2 = jax.nn.gelu(c2)
-        context2 = deconv(N, 3, 2)(c2)
-        c4 = conv(N, kernel_size=3, stride=1)(seg_y_hat)
-        c4 = jax.nn.gelu(c4)
-        c4 = deconv(N, 3, 2)(c4)
-        c4 = jax.nn.gelu(c4)
-        context4 = deconv(N, 3, 2)(c4)
-
-        d = jnp.concatenate([human_y_hat, context, context3], axis=-1)
-        d = deconv(N, 3, 2)(d)
-        d = jax.nn.gelu(d)
-        human_deimage1 = deconv(N, 3, 2)(d)
-        human_deimage1 = human_deimage1 + mask_obj2 * cond2 + mask_seg2 * cond4
-
-        d2 = jnp.concatenate([human_deimage1, context2, context4], axis=-1)
-        d2 = deconv(N, 3, 2)(d2)
-        d2 = jax.nn.gelu(d2)
-        d2 = conv(N, kernel_size=3, stride=1)(d2)
-        d2 = jax.nn.gelu(d2)
-        human_deimage = deconv(3, 3, 2)(d2)
-        human_deimage = human_deimage + mask_obj1 * dec2 + mask_seg1 * dec3
+        human_deimage = self.human_synthesize(human_y_hat, y_hat, seg_y_hat)
 
         return {
             "x_hat": human_deimage,
@@ -588,6 +651,66 @@ class ConditionalResidualCoding3(CompressionModel):
             "machine_likelihoods": m_lik,
             "seg_likelihoods": seg_lik,
         }
+
+    # --- coder-facing stages (crc_codec) ------------------------------------
+    def seg_encode(self, x, y_hat):
+        seg_cond_img = self.seg_g_enc2(y_hat)
+        seg_cond_quarter = self.seg_g_enc3(y_hat)
+        seg_y_1 = self.seg_g_a1(jnp.concatenate([x, seg_cond_img], axis=-1))
+        return self.seg_g_a2(
+            jnp.concatenate([seg_y_1, seg_cond_quarter], axis=-1)
+        )
+
+    def _masks_and_conds(self, y_hat, seg_y_hat):
+        N = self.N
+        dec2 = self.human_g_enc2(y_hat)
+        cond2 = self.human_g_enc3(y_hat)
+        dec3 = self.human_g_enc4(seg_y_hat)
+        cond4 = self.human_g_enc5(seg_y_hat)
+        m1 = self.generate_mask_scale1(
+            jnp.concatenate([dec2, dec3], axis=-1)
+        )
+        m2 = self.generate_mask_scale2(
+            jnp.concatenate([cond2, cond4], axis=-1)
+        )
+        return (
+            dec2, cond2, dec3, cond4,
+            m1[..., 0:3], m1[..., 3:6],
+            m2[..., 0:N], m2[..., N : 2 * N],
+        )
+
+    def human_encode(self, x, y_hat, seg_y_hat):
+        (dec2, cond2, dec3, cond4, mo1, ms1, mo2, ms2) = self._masks_and_conds(
+            y_hat, seg_y_hat
+        )
+        residual1 = x - mo1 * dec2 - ms1 * dec3
+        human_y_1 = self.human_g_a1_2(
+            jnp.concatenate([residual1, dec2, dec3], axis=-1)
+        )
+        residual2 = human_y_1 - mo2 * cond2 - ms2 * cond4
+        return self.human_g_a2_2(
+            jnp.concatenate([residual2, cond2, cond4], axis=-1)
+        )
+
+    def human_eb_medians(self):
+        return self.human_hyper.entropy_bottleneck.medians()[:, 0, 0]
+
+    def human_synthesize(self, human_y_hat, y_hat, seg_y_hat):
+        (dec2, cond2, dec3, cond4, mo1, ms1, mo2, ms2) = self._masks_and_conds(
+            y_hat, seg_y_hat
+        )
+        context = self.human_context_decoder(y_hat)
+        context3 = self.human_context_decoder3(seg_y_hat)
+        context2 = self.human_context_decoder2_2(y_hat)
+        context4 = self.human_context_decoder4(seg_y_hat)
+        d1 = self.human_g_s1_2(
+            jnp.concatenate([human_y_hat, context, context3], axis=-1)
+        )
+        d1 = d1 + mo2 * cond2 + ms2 * cond4
+        d2 = self.human_g_s2_2(
+            jnp.concatenate([d1, context2, context4], axis=-1)
+        )
+        return d2 + mo1 * dec2 + ms1 * dec3
 
     def aux_loss(self):
         return (

@@ -492,3 +492,145 @@ class SegOjCodec:
             "y_hat": y_hat,
             "seg_y_hat": seg_y_hat,
         }
+
+
+class CRC3Codec:
+    """Real coder for stf13 (three layers): machine charm + segmentation
+    charm + human one-shot; strings = [y, z, seg_y, seg_z, human_y,
+    human_z]. All conditioning (masks, context decoders) derives from the
+    decoded machine/seg latents, so the human layer needs no side info."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        from .base import sliding_support
+
+        self.model = model
+        self.variables = variables
+        self.tables = tables or build_codec_tables(model, variables)
+        st = jnp.asarray(self.tables.scale_table)
+        self.machine = _CharmLayerDriver(
+            model, st, lambda m: m.machine.coder, "machine"
+        )
+        self.seg = _CharmLayerDriver(model, st, lambda m: m.seg_coder, "seg")
+        self._support = sliding_support(model.max_support)
+        mdl = model
+
+        @jax.jit
+        def m_analyze(v, x):
+            return mdl.apply(v, method=lambda m: m.machine.g_a(x))
+
+        @jax.jit
+        def seg_encode(v, x, y_hat):
+            return mdl.apply(v, x, y_hat, method=mdl.seg_encode)
+
+        @jax.jit
+        def human_encode(v, x, y_hat, seg_y_hat):
+            def f(m):
+                hy = m.human_encode(x, y_hat, seg_y_hat)
+                return hy, m.human_hyper.h_a(hy)
+
+            return mdl.apply(v, method=f)
+
+        @jax.jit
+        def human_eb_medians(v):
+            return mdl.apply(v, method=mdl.human_eb_medians)
+
+        @jax.jit
+        def human_hyper_synth(v, z_hat):
+            def f(m):
+                return (
+                    m.human_hyper.h_mean_s(z_hat),
+                    m.human_hyper.h_scale_s(z_hat),
+                )
+
+            means, scales = mdl.apply(v, method=f)
+            return means, scales, build_indexes(scales, st)
+
+        @jax.jit
+        def human_synth(v, sym, means, y_hat, seg_y_hat):
+            hy_hat = sym.astype(jnp.float32) + means
+            return mdl.apply(
+                v, hy_hat, y_hat, seg_y_hat, method=mdl.human_synthesize
+            )
+
+        self._m_analyze = m_analyze
+        self._seg_encode = seg_encode
+        self._human_encode = human_encode
+        self._human_eb_medians = human_eb_medians
+        self._human_hyper_synth = human_hyper_synth
+        self._human_synth = human_synth
+
+    _code_z = SegOjCodec._code_z
+    _decode_z = SegOjCodec._decode_z
+    _encode_layer = SegOjCodec._encode_layer
+    _decode_layer = SegOjCodec._decode_layer
+
+    def compress(self, x, return_debug: bool = False):
+        v = self.variables
+        y = self._m_analyze(v, x)
+        y_s, z_s, y_hat, m_shape = self._encode_layer(
+            self.machine, v, y, "entropy_bottleneck"
+        )
+        seg_y = self._seg_encode(v, x, y_hat)
+        sy_s, sz_s, seg_y_hat, s_shape = self._encode_layer(
+            self.seg, v, seg_y, "entropy_bottleneck_seg"
+        )
+        human_y, human_z = self._human_encode(v, x, y_hat, seg_y_hat)
+        med = self._human_eb_medians(v)
+        hz_sym = np.asarray(
+            jax.device_get(jnp.round(human_z - med).astype(jnp.int32))
+        )
+        hz_s = self._code_z(hz_sym, "entropy_bottleneck_human")
+        hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
+        means, scales, index = self._human_hyper_synth(v, hz_hat)
+        hy_sym = np.asarray(
+            jax.device_get(jnp.round(human_y - means).astype(jnp.int32))
+        )
+        gt = self.tables.gaussian
+        B = x.shape[0]
+        hy_s = coding.encode_batch(
+            hy_sym.reshape(B, -1),
+            np.asarray(jax.device_get(index)).reshape(B, -1),
+            gt.quantized_cdf, gt.cdf_length, gt.offset,
+        )
+        out = {
+            "strings": [y_s, z_s, sy_s, sz_s, hy_s, hz_s],
+            "shape": tuple(int(d) for d in m_shape),
+            "seg_shape": tuple(int(d) for d in s_shape),
+            "human_shape": (int(human_z.shape[1]), int(human_z.shape[2])),
+        }
+        if return_debug:
+            out["y_hat"] = y_hat
+            out["seg_y_hat"] = seg_y_hat
+            out["x_hat"] = self._human_synth(
+                v, jnp.asarray(hy_sym), means, y_hat, seg_y_hat
+            )
+        return out
+
+    def decompress(self, strings, shape, seg_shape, human_shape):
+        v = self.variables
+        y_s, z_s, sy_s, sz_s, hy_s, hz_s = strings
+        y_hat = self._decode_layer(
+            self.machine, v, y_s, z_s, shape, "entropy_bottleneck"
+        )
+        seg_y_hat = self._decode_layer(
+            self.seg, v, sy_s, sz_s, seg_shape, "entropy_bottleneck_seg"
+        )
+        hz_sym = self._decode_z(hz_s, human_shape, "entropy_bottleneck_human")
+        med = self._human_eb_medians(v)
+        hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
+        means, scales, index = self._human_hyper_synth(v, hz_hat)
+        gt = self.tables.gaussian
+        idx_np = np.asarray(jax.device_get(index))
+        B = len(hy_s)
+        hy_sym = coding.decode_batch(
+            hy_s, idx_np.reshape(B, -1),
+            gt.quantized_cdf, gt.cdf_length, gt.offset,
+        ).reshape(idx_np.shape)
+        x_hat = self._human_synth(
+            v, jnp.asarray(hy_sym), means, y_hat, seg_y_hat
+        )
+        return {
+            "x_hat": jnp.clip(x_hat, 0.0, 1.0),
+            "y_hat": y_hat,
+            "seg_y_hat": seg_y_hat,
+        }

@@ -70,3 +70,51 @@ def test_crc_codec_roundtrip():
         np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
     )
     assert dec["x_hat"].shape == x.shape
+
+
+@pytest.mark.parametrize("name", ["stf12", "stf14"])
+def test_crc_codec_roundtrip_v2_v14(name):
+    import numpy as np
+    from icm_tpu.models.crc_codec import CRCCodec
+
+    model = create_model(name, **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    codec = CRCCodec(model, variables)
+    enc = codec.compress(x, return_debug=True)
+    dec = codec.decompress(enc["strings"], enc["shape"], enc["human_shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    assert dec["x_hat"].shape == x.shape
+
+
+def test_crc3_codec_roundtrip():
+    """stf13 three-layer real coder: 6 bitstreams, bitexact AR layers."""
+    import numpy as np
+    from icm_tpu.models.crc_codec import CRC3Codec
+
+    model = create_model("stf13", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    codec = CRC3Codec(model, variables)
+    enc = codec.compress(x, return_debug=True)
+    assert len(enc["strings"]) == 6
+    dec = codec.decompress(
+        enc["strings"], enc["shape"], enc["seg_shape"], enc["human_shape"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["seg_y_hat"]), np.asarray(enc["seg_y_hat"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec["x_hat"]),
+        np.clip(np.asarray(enc["x_hat"]), 0, 1),
+        atol=1e-6,
+    )

@@ -84,13 +84,24 @@ def eval_image(args):
     model, variables = load_model_and_params(args, (jnp.asarray(first),))
 
     codec = None
-    layered = args.model in ("stf9", "stf11")
+    kind = {
+        "stf9": "crc", "stf11": "crc", "stf12": "crc", "stf14": "crc",
+        "stf13": "crc3", "seg_oj_ICM": "segoj",
+    }.get(args.model, "charm")
     if not args.entropy_estimation:
         try:
-            if layered:
-                from icm_tpu.models.crc_codec import CRCCodec
+            if kind == "crc":
+                from icm_tpu.models import CRCCodec
 
                 codec = CRCCodec(model, variables)
+            elif kind == "crc3":
+                from icm_tpu.models.crc_codec import CRC3Codec
+
+                codec = CRC3Codec(model, variables)
+            elif kind == "segoj":
+                from icm_tpu.models import SegOjCodec
+
+                codec = SegOjCodec(model, variables)
             else:
                 from icm_tpu.models import CharmCodec
 
@@ -111,9 +122,18 @@ def eval_image(args):
             enc = codec.compress(x)
             t_enc = time.time() - t0
             t0 = time.time()
-            if layered:
+            if kind == "crc":
                 dec = codec.decompress(
                     enc["strings"], enc["shape"], enc["human_shape"]
+                )
+            elif kind == "crc3":
+                dec = codec.decompress(
+                    enc["strings"], enc["shape"], enc["seg_shape"],
+                    enc["human_shape"],
+                )
+            elif kind == "segoj":
+                dec = codec.decompress(
+                    enc["strings"], enc["shape"], enc["seg_shape"]
                 )
             else:
                 dec = codec.decompress(enc["strings"], enc["shape"])
