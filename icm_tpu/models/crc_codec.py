@@ -634,3 +634,154 @@ class CRC3Codec:
             "y_hat": y_hat,
             "seg_y_hat": seg_y_hat,
         }
+
+
+class CzigzagCodec:
+    """Real coder for the cross-attention conditional codec (czigzag).
+    ``up_x4`` is decoder-side conditioning (a GAN-upsampled base-layer
+    reconstruction), so both sides derive the context pyramids from it;
+    strings = [y, z]. New design — the reference ships no working coder
+    for this model (SURVEY.md §0)."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        import functools
+
+        from .base import sliding_support
+
+        self.model = model
+        self.variables = variables
+        self.tables = tables or build_codec_tables(model, variables)
+        st = jnp.asarray(self.tables.scale_table)
+        self._support = sliding_support(model.max_support)
+        mdl = model
+
+        @jax.jit
+        def pyramids(v, up):
+            return mdl.apply(v, up, method=mdl.ctx_pyramids)
+
+        @jax.jit
+        def analyze(v, x, ctx_list):
+            return mdl.apply(v, x, ctx_list, method=mdl.analyze_cond)
+
+        @jax.jit
+        def hyper_encode(v, y, hctx, hctx2):
+            return mdl.apply(v, y, hctx, hctx2, method=mdl.hyper_encode)
+
+        @jax.jit
+        def eb_medians(v):
+            return mdl.apply(v, method=mdl.eb_medians)
+
+        @jax.jit
+        def ctx_prepare(v, z_hat, hctx, hctx2):
+            return mdl.apply(
+                v, z_hat, hctx, hctx2, method=mdl.ctx_prepare_cond
+            )
+
+        @jax.jit
+        def latent_slices(v, y):
+            return mdl.apply(v, y, method=mdl.latent_slices)
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def slice_context(v, i, state, support):
+            mu, scale, ms = mdl.apply(
+                v, i, state, support, method=mdl.slice_context
+            )
+            return mu, scale, build_indexes(scale, st), ms
+
+        @functools.partial(jax.jit, static_argnums=(1, 5))
+        def slice_code(v, i, sym_or_y, mu, mean_support, encode):
+            if encode:
+                sym = jnp.round(sym_or_y - mu).astype(jnp.int32)
+            else:
+                sym = sym_or_y
+            y_hat = sym.astype(mu.dtype) + mu
+            lrp = mdl.apply(v, i, mean_support, y_hat, method=mdl.slice_lrp)
+            return sym, y_hat + lrp
+
+        @jax.jit
+        def assemble_synthesize(v, slices, decoder_contexts):
+            y_hat = mdl.apply(v, slices, method=mdl.ctx_assemble)
+            x_hat = mdl.apply(
+                v, y_hat, decoder_contexts, method=mdl.synthesize_cond
+            )
+            return y_hat, jnp.clip(x_hat, 0.0, 1.0)
+
+        self._pyramids = pyramids
+        self._analyze = analyze
+        self._hyper_encode = hyper_encode
+        self._eb_medians = eb_medians
+        self._ctx_prepare = ctx_prepare
+        self._latent_slices = latent_slices
+        self._slice_context = slice_context
+        self._slice_code = slice_code
+        self._assemble_synthesize = assemble_synthesize
+
+    _code_z = SegOjCodec._code_z
+    _decode_z = SegOjCodec._decode_z
+
+    def _loop(self, v, state, decoder=None, y_slices=None):
+        gt = self.tables.gaussian
+        lut = gt.symbol_lut() if decoder is not None else None
+        sym_list, idx_list, slices = [], [], []
+        for i in range(self.model.ctx_slices):
+            support = self._support(i, slices)
+            mu, scale, index, ms = self._slice_context(v, i, state, support)
+            if decoder is None:
+                sym, y_hat = self._slice_code(v, i, y_slices[i], mu, ms, True)
+                sym_list.append(
+                    np.asarray(jax.device_get(sym)).reshape(sym.shape[0], -1)
+                )
+                idx_list.append(
+                    np.asarray(jax.device_get(index)).reshape(index.shape[0], -1)
+                )
+            else:
+                idx_np = np.asarray(jax.device_get(index))
+                sym = decoder.decode_stream(
+                    idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset, lut=lut
+                )
+                _, y_hat = self._slice_code(v, i, jnp.asarray(sym), mu, ms, False)
+            slices.append(y_hat)
+        return slices, sym_list, idx_list
+
+    def compress(self, x, up_x4, return_debug: bool = False):
+        v = self.variables
+        ctx_list, hctx, hctx2, dec_ctx = self._pyramids(v, up_x4)
+        y = self._analyze(v, x, ctx_list)
+        z = self._hyper_encode(v, y, hctx, hctx2)
+        med = self._eb_medians(v)
+        z_sym = np.asarray(jax.device_get(jnp.round(z - med).astype(jnp.int32)))
+        z_strings = self._code_z(z_sym, "entropy_bottleneck")
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        state = self._ctx_prepare(v, z_hat, hctx, hctx2)
+        y_slices = self._latent_slices(v, y)
+        slices, sym_list, idx_list = self._loop(
+            v, state, decoder=None, y_slices=y_slices
+        )
+        gt = self.tables.gaussian
+        y_strings = coding.encode_batch(
+            np.concatenate(sym_list, axis=1),
+            np.concatenate(idx_list, axis=1),
+            gt.quantized_cdf, gt.cdf_length, gt.offset,
+        )
+        out = {
+            "strings": [y_strings, z_strings],
+            "shape": (int(z.shape[1]), int(z.shape[2])),
+        }
+        if return_debug:
+            y_hat, x_hat = self._assemble_synthesize(v, slices, dec_ctx)
+            out["y_hat"] = y_hat
+            out["x_hat"] = x_hat
+        return out
+
+    def decompress(self, strings, shape, up_x4):
+        v = self.variables
+        y_strings, z_strings = strings
+        _, hctx, hctx2, dec_ctx = self._pyramids(v, up_x4)
+        z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
+        med = self._eb_medians(v)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        state = self._ctx_prepare(v, z_hat, hctx, hctx2)
+        decoder = coding.BatchRansDecoder(y_strings)
+        slices, _, _ = self._loop(v, state, decoder=decoder)
+        y_hat, x_hat = self._assemble_synthesize(v, slices, dec_ctx)
+        return {"x_hat": x_hat, "y_hat": y_hat}

@@ -155,6 +155,8 @@ class conditionalZigzag(CompressionModel):
 
         self.entropy_bottleneck = EntropyBottleneck(self.latent_dim // 2)
         self.gaussian_conditional = GaussianConditional()
+        self.end_up = SubpelConv(self.embed_dim, r=self.patch_size, kernel_size=5)
+        self.end_to_rgb = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)))
 
     # --- helpers -----------------------------------------------------------
     def _split(self, t):
@@ -168,38 +170,41 @@ class conditionalZigzag(CompressionModel):
             return blocks[N - w :]
         return blocks[i : i + w]
 
-    @nn.compact
-    def __call__(self, x, up_x4, training: bool = True):
-        det = not training
-        x = self.patch_embed(x)
+    # --- coder-facing stages -------------------------------------------------
+    def ctx_pyramids(self, up_x4, training: bool = False):
+        """Decoder-side conditioning pyramids from up_x4: (analysis ctx
+        list, hyper_ctx, hyper_ctx2, decoder_contexts)."""
         ctx = self.patch_embed(up_x4)  # shared embed (czigzag.py:953-954)
+        ctx_list = [ctx]
         hyper_ctx = ctx
         decoder_contexts = [ctx]
+        n = len(self.depths)
+        for i in range(n - 1):
+            ctx_list.append(self.encoder_context[i](ctx_list[-1]))
+            hyper_ctx = self.hyper_context[i](hyper_ctx)
+            decoder_contexts.append(
+                self.decoder_context[i](decoder_contexts[-1])
+            )
+        hyper_ctx2 = self.hyper_encoder_conv1(hyper_ctx)
+        return ctx_list, hyper_ctx, hyper_ctx2, decoder_contexts
 
+    def analyze_cond(self, x, ctx_list, training: bool = False):
+        det = not training
+        h = self.patch_embed(x)
         n = len(self.depths)
         for i in range(n):
-            x = self.layers[i](x, ctx, det)
-            if i != n - 1:
-                ctx = self.encoder_context[i](ctx)
-                hyper_ctx = self.hyper_context[i](hyper_ctx)
-                decoder_contexts.append(
-                    self.decoder_context[i](decoder_contexts[-1])
-                )
+            h = self.layers[i](h, ctx_list[i], det)
+        return h  # y
 
-        y = x  # (B, h, w, M)
-
-        # conditioned hyper encoder (czigzag.py:997-1013)
+    def hyper_encode(self, y, hyper_ctx, hyper_ctx2, training: bool = False):
+        det = not training
         z = self.hyper_encoder_layers[0](y, hyper_ctx, det)
-        hyper_ctx2 = self.hyper_encoder_conv1(hyper_ctx)
         z = self.hyper_encoder_conv1_2(z)
         z = self.hyper_encoder_layers[1](z, hyper_ctx2, det)
-        z = self.hyper_encoder_conv2(z)
+        return self.hyper_encoder_conv2(z)
 
-        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
-        z_off = self.entropy_bottleneck.medians()[:, 0, 0]
-        z_hat = ste_round(z - z_off) + z_off
-
-        # conditioned hyper decoders (czigzag.py:1020-1053)
+    def hyper_decode(self, z_hat, hyper_ctx, hyper_ctx2, training: bool = False):
+        det = not training
         m = self.hyper_decoder_conv_mean1(z_hat)
         m = self.hyper_decoder_mean[0](m, hyper_ctx2, det)
         m = self.hyper_decoder_conv_mean2(m)
@@ -209,51 +214,83 @@ class conditionalZigzag(CompressionModel):
         s = self.hyper_decoder_scale[0](s, hyper_ctx2, det)
         s = self.hyper_decoder_conv_scale2(s)
         latent_scales = self.hyper_decoder_scale[1](s, hyper_ctx, det)
+        return latent_means, latent_scales
 
-        # zigzag AR loop with hyper-context conditioning
-        y_blocks = self._split(y)
-        m_blocks = self._split(latent_means)
-        s_blocks = self._split(latent_scales)
-        h_blocks = self._split(hyper_ctx)
+    def ctx_prepare_cond(self, z_hat, hyper_ctx, hyper_ctx2):
+        means, scales = self.hyper_decode(z_hat, hyper_ctx, hyper_ctx2)
+        return {
+            "means": self._split(means),
+            "scales": self._split(scales),
+            "hctx": self._split(hyper_ctx),
+        }
 
+    def latent_slices(self, y):
+        return self._split(y)
+
+    def slice_context(self, i, state, support):
+        hctx = self._window(state["hctx"], i)
+        mean_support = jnp.concatenate(
+            self._window(state["means"], i) + support + hctx, axis=-1
+        )
+        mu = self.cc_mean_transforms[i](mean_support)
+        scale_support = jnp.concatenate(
+            self._window(state["scales"], i) + support + hctx, axis=-1
+        )
+        scale = self.cc_scale_transforms[i](scale_support)
+        return mu, scale, mean_support
+
+    def slice_lrp(self, i, mean_support, y_hat_slice):
+        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        return 0.5 * jnp.tanh(self.lrp_transforms[i](lrp_support))
+
+    def ctx_assemble(self, y_hat_slices):
+        return zigzag_merge(
+            jnp.stack(y_hat_slices, axis=1), self.num_slices, 2, 2, False
+        )
+
+    def synthesize_cond(self, y_hat, decoder_contexts, training: bool = False):
+        det = not training
+        n = len(self.depths)
+        h = y_hat
+        for i in range(n):
+            h = self.syn_layers[i](h, decoder_contexts[n - 1 - i], det)
+        # end conv: 5x5 + depth-to-space(patch) + 3x3 (as stf)
+        return self.end_to_rgb(self.end_up(h))
+
+    def eb_medians(self):
+        return self.entropy_bottleneck.medians()[:, 0, 0]
+
+    def __call__(self, x, up_x4, training: bool = True):
+        ctx_list, hyper_ctx, hyper_ctx2, decoder_contexts = self.ctx_pyramids(
+            up_x4, training=training
+        )
+        y = self.analyze_cond(x, ctx_list, training=training)
+        z = self.hyper_encode(y, hyper_ctx, hyper_ctx2, training=training)
+
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+        z_off = self.eb_medians()
+        z_hat = ste_round(z - z_off) + z_off
+
+        state = self.ctx_prepare_cond(z_hat, hyper_ctx, hyper_ctx2)
+        y_blocks = self.latent_slices(y)
         support_fn = sliding_support(self.max_support)
         y_hat_slices, y_likelihood = [], []
         for i in range(self.ctx_slices):
             support = support_fn(i, y_hat_slices)
-            hctx = self._window(h_blocks, i)
-            mean_support = jnp.concatenate(
-                self._window(m_blocks, i) + support + hctx, axis=-1
-            )
-            mu = self.cc_mean_transforms[i](mean_support)
-            scale_support = jnp.concatenate(
-                self._window(s_blocks, i) + support + hctx, axis=-1
-            )
-            scale = self.cc_scale_transforms[i](scale_support)
-
+            mu, scale, mean_support = self.slice_context(i, state, support)
             _, lik = self.gaussian_conditional(
                 y_blocks[i], scale, mu, training=training
             )
             y_likelihood.append(lik)
             y_hat_slice = ste_round(y_blocks[i] - mu) + mu
-            lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
-            y_hat_slice = y_hat_slice + 0.5 * jnp.tanh(
-                self.lrp_transforms[i](lrp_support)
+            y_hat_slice = y_hat_slice + self.slice_lrp(
+                i, mean_support, y_hat_slice
             )
             y_hat_slices.append(y_hat_slice)
 
-        y_hat = zigzag_merge(
-            jnp.stack(y_hat_slices, axis=1), self.num_slices, 2, 2, False
-        )
+        y_hat = self.ctx_assemble(y_hat_slices)
         y_likelihoods = jnp.concatenate(y_likelihood, axis=-1)
-
-        # conditioned synthesis (czigzag.py:1160-1167)
-        h = y_hat
-        for i in range(n):
-            h = self.syn_layers[i](h, decoder_contexts[n - 1 - i], det)
-        # end conv: 5x5 + depth-to-space(patch) + 3x3 (as stf)
-        h = SubpelConv(self.embed_dim, r=self.patch_size, kernel_size=5,
-                       name="up")(h)
-        x_hat = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), name="to_rgb")(h)
+        x_hat = self.synthesize_cond(y_hat, decoder_contexts, training=training)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},

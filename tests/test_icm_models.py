@@ -124,3 +124,26 @@ def test_seg_oj_icm_layered_codec_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(dec["seg_y_hat"]), np.asarray(enc["seg_y_hat"])
     )
+
+
+def test_cnn2_codec_roundtrip():
+    """cnn2 codes with CharmCodec (inherits the WACNN protocol; the
+    RetinaNet student is eval-side only)."""
+    from icm_tpu.models import CharmCodec
+
+    model = create_model(
+        "cnn2",
+        N=16, M=24, num_slices=6, max_support_slices=5,
+        hyper_enc_widths=(24, 20, 16, 14, 12),
+        hyper_dec_widths=(12, 14, 16, 20, 24),
+        cc_widths=(16, 12, 10, 8),
+        with_task_net=False,
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(_rngs(), x)
+    codec = CharmCodec(model, variables)
+    enc = codec.compress(x, return_debug=True)
+    dec = codec.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
