@@ -785,3 +785,154 @@ class CzigzagCodec:
         slices, _, _ = self._loop(v, state, decoder=decoder)
         y_hat, x_hat = self._assemble_synthesize(v, slices, dec_ctx)
         return {"x_hat": x_hat, "y_hat": y_hat}
+
+class Stf2Codec:
+    """Real coder for stf2 (AR attention context over window tokens).
+    The reference's own compress/decompress for this family is stale
+    (SURVEY.md §0); this is a self-consistent design with one jitted step
+    function shared by encoder and decoder; strings = [y, z]."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        self.model = model
+        self.variables = variables
+        self.tables = tables or build_codec_tables(model, variables)
+        st = jnp.asarray(self.tables.scale_table)
+        mdl = model
+
+        @jax.jit
+        def analyze(v, x):
+            return mdl.apply(v, x, method=mdl.analyze_tokens)
+
+        @jax.jit
+        def eb_medians(v):
+            return mdl.apply(v, method=mdl.eb_medians)
+
+        @jax.jit
+        def token_windows(v, y, z_hat):
+            return mdl.apply(v, y, z_hat, method=mdl.token_windows)
+
+        @jax.jit
+        def token_context(v, m_i, s_i, prev):
+            mu, scale, ctx_sp = mdl.apply(
+                v, m_i, s_i, prev, method=mdl.token_context
+            )
+            return mu, scale, build_indexes(scale, st), ctx_sp
+
+        @jax.jit
+        def token_code_enc(v, y_token, mu, ctx_sp):
+            sym = jnp.round(y_token - mu).astype(jnp.int32)
+            y_hat = sym.astype(mu.dtype) + mu
+            lrp = mdl.apply(v, ctx_sp, y_hat, method=mdl.token_lrp)
+            return sym, y_hat + lrp
+
+        @jax.jit
+        def token_code_dec(v, sym, mu, ctx_sp):
+            y_hat = sym.astype(mu.dtype) + mu
+            lrp = mdl.apply(v, ctx_sp, y_hat, method=mdl.token_lrp)
+            return y_hat + lrp
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def assemble_synthesize(v, toks, lattice, out_hw):
+            y_hat = mdl.apply(v, toks, lattice, out_hw,
+                              method=mdl.tokens_assemble)
+            x_hat = mdl.apply(v, y_hat, method=mdl.synthesize)
+            return y_hat, jnp.clip(x_hat, 0.0, 1.0)
+
+        self._analyze = analyze
+        self._eb_medians = eb_medians
+        self._token_windows = token_windows
+        self._token_context = token_context
+        self._token_code_enc = token_code_enc
+        self._token_code_dec = token_code_dec
+        self._assemble_synthesize = assemble_synthesize
+
+    _code_z = SegOjCodec._code_z
+    _decode_z = SegOjCodec._decode_z
+
+    def _prev(self, toks, B, s, D, dtype):
+        if not toks:
+            return jnp.zeros((B, s, D), dtype)
+        have = min(len(toks), s)
+        stack = jnp.stack(toks[-have:], axis=1)
+        if have < s:
+            stack = jnp.pad(stack, ((0, 0), (s - have, 0), (0, 0)))
+        return stack
+
+    def _loop(self, v, y_tok, m_win, s_win, decoder=None):
+        gt = self.tables.gaussian
+        lut = gt.symbol_lut() if decoder is not None else None
+        s = self.model.num_sliding
+        ws = self.model.mask_win_size
+        Cp = self.model.slice_ch
+        B, N, D = m_win.shape[0], m_win.shape[1], m_win.shape[-1]
+        toks, sym_list, idx_list = [], [], []
+        for i in range(N):
+            prev = self._prev(toks, B, s, D, m_win.dtype)
+            mu, scale, index, ctx_sp = self._token_context(
+                v, m_win[:, i], s_win[:, i], prev
+            )
+            if decoder is None:
+                y_token = y_tok[:, i].reshape(B, ws, ws, Cp)
+                sym, y_hat = self._token_code_enc(v, y_token, mu, ctx_sp)
+                sym_list.append(
+                    np.asarray(jax.device_get(sym)).reshape(B, -1)
+                )
+                idx_list.append(
+                    np.asarray(jax.device_get(index)).reshape(B, -1)
+                )
+            else:
+                idx_np = np.asarray(jax.device_get(index))
+                sym = decoder.decode_stream(
+                    idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset, lut=lut
+                )
+                y_hat = self._token_code_dec(v, jnp.asarray(sym), mu, ctx_sp)
+            toks.append(y_hat.reshape(B, D))
+        return toks, sym_list, idx_list
+
+    def compress(self, x, return_debug: bool = False):
+        v = self.variables
+        y, z = self._analyze(v, x)
+        med = self._eb_medians(v)
+        z_sym = np.asarray(jax.device_get(jnp.round(z - med).astype(jnp.int32)))
+        z_strings = self._code_z(z_sym, "entropy_bottleneck")
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        y_tok, m_win, s_win, lattice = self._token_windows(v, y, z_hat)
+        toks, sym_list, idx_list = self._loop(v, y_tok, m_win, s_win)
+        gt = self.tables.gaussian
+        y_strings = coding.encode_batch(
+            np.concatenate(sym_list, axis=1),
+            np.concatenate(idx_list, axis=1),
+            gt.quantized_cdf, gt.cdf_length, gt.offset,
+        )
+        out = {
+            "strings": [y_strings, z_strings],
+            "shape": (int(z.shape[1]), int(z.shape[2])),
+            "out_hw": (int(y.shape[1]), int(y.shape[2])),
+            "lattice": tuple(int(d) for d in lattice),
+        }
+        if return_debug:
+            y_hat, x_hat = self._assemble_synthesize(
+                v, toks, out["lattice"], out["out_hw"]
+            )
+            out["y_hat"] = y_hat
+            out["x_hat"] = x_hat
+        return out
+
+    def decompress(self, strings, shape, out_hw, lattice):
+        v = self.variables
+        y_strings, z_strings = strings
+        z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
+        med = self._eb_medians(v)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        # decoder-side windows: y unknown — token_windows only needs y for
+        # y_tok; pass zeros of the right latent shape
+        B = z_hat.shape[0]
+        H, W = out_hw
+        y_zero = jnp.zeros((B, H, W, self.model.latent_dim), jnp.float32)
+        _, m_win, s_win, _ = self._token_windows(v, y_zero, z_hat)
+        decoder = coding.BatchRansDecoder(y_strings)
+        toks, _, _ = self._loop(v, None, m_win, s_win, decoder=decoder)
+        y_hat, x_hat = self._assemble_synthesize(v, toks, lattice, out_hw)
+        return {"x_hat": x_hat, "y_hat": y_hat}

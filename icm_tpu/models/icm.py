@@ -274,6 +274,74 @@ class WACNN2(WACNN):
         return result
 
 
+class _PromptAnalysis(nn.Module):
+    """stf10 promot_g_a (stf10.py:693-704): 4x stride-2 convs + WinAttn."""
+
+    N: int
+    M: int
+
+    @nn.compact
+    def __call__(self, p):
+        for _ in range(3):
+            p = conv(self.N, 5, 2)(p)
+            p = jax.nn.gelu(p)
+        p = conv(self.M, 5, 2)(p)
+        p = jax.nn.gelu(p)
+        return Win_noShift_Attention(
+            self.M, num_heads=8, window_size=4, shift_size=2
+        )(p)
+
+
+class _G_s1(nn.Module):
+    """stf10 g_s1 (stf10.py:586-596): decode to N at 1/4 scale."""
+
+    N: int
+    M: int
+
+    @nn.compact
+    def __call__(self, y_hat):
+        h = Win_noShift_Attention(
+            self.M, num_heads=8, window_size=4, shift_size=2
+        )(y_hat)
+        h = deconv(self.N, 5, 2)(h)
+        h = GDN(self.N, inverse=True)(h)
+        h = deconv(self.N, 5, 2)(h)
+        h = GDN(self.N, inverse=True)(h)
+        return Win_noShift_Attention(
+            self.N, num_heads=8, window_size=8, shift_size=4
+        )(h)
+
+
+class _PromptSynthesis(nn.Module):
+    """stf10 promot_g_s (stf10.py:705-713)."""
+
+    N: int
+    M: int
+
+    @nn.compact
+    def __call__(self, y_hat):
+        pp = Win_noShift_Attention(
+            self.M, num_heads=8, window_size=4, shift_size=2
+        )(y_hat)
+        pp = jax.nn.gelu(pp)
+        pp = deconv(self.N, 5, 2)(pp)
+        pp = jax.nn.gelu(pp)
+        return deconv(self.N, 5, 2)(pp)
+
+
+class _G_s2(nn.Module):
+    """stf10 g_s2 equivalent tail (see class docstring on the reference's
+    double-g_s1 slip)."""
+
+    N: int
+
+    @nn.compact
+    def __call__(self, h_hat):
+        d = deconv(self.N, 5, 2)(h_hat)
+        d = GDN(self.N, inverse=True)(d)
+        return deconv(3, 5, 2)(d)
+
+
 class SymmetricalTransFormer7(CompressionModel):
     """stf10: prompt adapters for segmentation ICM."""
 
@@ -303,87 +371,31 @@ class SymmetricalTransFormer7(CompressionModel):
             hyper_dec_widths=self.hyper_dec_widths,
             cc_widths=self.cc_widths,
         )
+        self.promot_g_a = _PromptAnalysis(self.N, self.M)
+        self.promot_g_s = _PromptSynthesis(self.N, self.M)
+        self.g_s1 = _G_s1(self.N, self.M)
+        self.g_s2 = _G_s2(self.N)
+        from ..nn.factories import HyperEncoder384, HyperMean384
+
+        self.promot_h_a = HyperEncoder384(self.hyper_enc_widths)
+        self.promot_h_mean_s = HyperMean384(self.hyper_dec_widths)
+        self.promot_h_scale_s = HyperMean384(self.hyper_dec_widths)
         if self.with_task_net:
             self.student_seg_Net = DeepLabV3(
                 num_classes=self.num_seg_classes, backbone=self.task_backbone
             )
 
-    @nn.compact
     def __call__(self, x, training: bool = True):
-        N, M = self.N, self.M
-        y = self.g_a(x)
-        # prompt analysis adapter (stf10.py:693-704)
-        p = x
-        for i in range(3):
-            p = conv(N, 5, 2)(p)
-            p = jax.nn.gelu(p)
-        p = conv(M, 5, 2)(p)
-        p = jax.nn.gelu(p)
-        promot_y = Win_noShift_Attention(M, num_heads=8, window_size=4,
-                                         shift_size=2)(p)
-        y = y + promot_y
-
-        # coder with prompt hyper adapter: promot_h_a(y) added to h_a(y)
-        # (stf10.py:912-914)
-        promot_z = self._promot_h_a(y)
-        y_hat, likelihoods = self._code_with_prompt(y, promot_z, training)
-
-        # decode: g_s1 + prompt synthesis adapter, then g_s2 (stf10 calls
-        # g_s1 twice — shape-incompatible; g_s2 used here)
-        h = Win_noShift_Attention(M, num_heads=8, window_size=4, shift_size=2)(y_hat)
-        h = deconv(N, 5, 2)(h)
-        h = GDN(N, inverse=True)(h)
-        h = deconv(N, 5, 2)(h)
-        h = GDN(N, inverse=True)(h)
-        h_hat = Win_noShift_Attention(N, num_heads=8, window_size=8, shift_size=4)(h)
-
-        pp = Win_noShift_Attention(M, num_heads=8, window_size=4, shift_size=2)(y_hat)
-        pp = jax.nn.gelu(pp)
-        pp = deconv(N, 5, 2)(pp)
-        pp = jax.nn.gelu(pp)
-        promot_h = deconv(N, 5, 2)(pp)
-        h_hat = h_hat + promot_h
-
-        d = deconv(N, 5, 2)(h_hat)
-        d = GDN(N, inverse=True)(d)
-        decompressH = deconv(3, 5, 2)(d)
-
-        out = {
-            "x_hat": decompressH,
-            "likelihoods": likelihoods,
-            "Student_output": None,
-        }
-        if self.with_task_net:
-            out["Student_output"] = self.student_seg_Net(decompressH)
-        return out
-
-    def _promot_h_a(self, y):
-        # prompt hyper-encoder adapter (stf10.py:714-725 equivalent widths)
-        from ..nn.factories import HyperEncoder384
-
-        return HyperEncoder384(self.hyper_enc_widths, name="promot_h_a")(y)
-
-    def _code_with_prompt(self, y, promot_z, training):
-        """ZigzagCharmCoder.code with z := h_a(y) + promot_z and prompt
-        mean/scale adapters added (stf10.py:919-924)."""
-        from ..entropy import quantize
-        from ..nn.factories import HyperMean384
         from ..ops import ste_round
 
+        y = self.analyze_prompt(x)
+        z = self.hyper_encode_prompt(y)
         c = self.coder
-        z = c.h_a(y) + promot_z
         _, z_lik = c.entropy_bottleneck(z, training=training)
         z_off = c.eb_medians()
         z_hat = ste_round(z - z_off) + z_off
 
-        means = c.h_mean_s(z_hat) + HyperMean384(
-            self.hyper_dec_widths, name="promot_h_mean_s"
-        )(z_hat)
-        scales = c.h_scale_s(z_hat) + HyperMean384(
-            self.hyper_dec_widths, name="promot_h_scale_s"
-        )(z_hat)
-
-        state = {"means": c._split(means), "scales": c._split(scales)}
+        state = self.ctx_prepare_prompt(z_hat)
         y_slices = c.latent_slices(y)
         y_hat_slices, y_lik = [], []
         for i in range(c.ctx_slices):
@@ -395,13 +407,85 @@ class SymmetricalTransFormer7(CompressionModel):
             y_lik.append(lik)
             y_hat_slice = ste_round(y_slices[i] - mu) + mu
             if c.apply_lrp:
-                y_hat_slice = y_hat_slice + c.slice_lrp(i, mean_support, y_hat_slice)
+                y_hat_slice = y_hat_slice + c.slice_lrp(
+                    i, mean_support, y_hat_slice
+                )
             y_hat_slices.append(y_hat_slice)
         y_hat = c.ctx_assemble(y_hat_slices)
-        return y_hat, {"y": jnp.concatenate(y_lik, axis=-1), "z": z_lik}
+        likelihoods = {"y": jnp.concatenate(y_lik, axis=-1), "z": z_lik}
+
+        decompressH = self.synthesize_prompt(y_hat)
+        out = {
+            "x_hat": decompressH,
+            "likelihoods": likelihoods,
+            "Student_output": None,
+        }
+        if self.with_task_net:
+            out["Student_output"] = self.student_seg_Net(decompressH)
+        return out
+
+    # --- coder-facing stages (crc_codec.Stf10Codec / CharmCodec-like) -------
+    def analyze_prompt(self, x):
+        """y = g_a(x) + promot_g_a(x) (stf10.py:903-905)."""
+        return self.g_a(x) + self.promot_g_a(x)
+
+    def hyper_encode_prompt(self, y):
+        """z = h_a(y) + promot_h_a(y) (stf10.py:912-914)."""
+        return self.coder.h_a(y) + self.promot_h_a(y)
+
+    def ctx_prepare_prompt(self, z_hat):
+        """means/scales with prompt adapters (stf10.py:919-924)."""
+        c = self.coder
+        means = c.h_mean_s(z_hat) + self.promot_h_mean_s(z_hat)
+        scales = c.h_scale_s(z_hat) + self.promot_h_scale_s(z_hat)
+        return {"means": c._split(means), "scales": c._split(scales)}
+
+    def synthesize_prompt(self, y_hat):
+        """g_s1 + promot_g_s residual, then the g_s2 tail (the reference
+        applies g_s1 twice — shape-incompatible slip, stf10.py:1009-1012)."""
+        h_hat = self.g_s1(y_hat) + self.promot_g_s(y_hat)
+        return self.g_s2(h_hat)
 
     def aux_loss(self):
         return self.coder.entropy_bottleneck.aux_loss()
 
     def eb_dict(self):
         return {"entropy_bottleneck": self.coder.entropy_bottleneck}
+
+    # --- ChARM protocol (drives the generic CharmCodec): every stage is the
+    # prompt-fused variant so compress/decompress match training bit-exactly.
+    def analyze(self, x, training: bool = False):
+        y = self.analyze_prompt(x)
+        return y, self.hyper_encode_prompt(y)
+
+    def synthesize(self, y_hat, training: bool = False):
+        return self.synthesize_prompt(y_hat)
+
+    def ctx_prepare(self, z_hat):
+        return self.ctx_prepare_prompt(z_hat)
+
+    def latent_slices(self, y):
+        return self.coder.latent_slices(y)
+
+    @property
+    def ctx_slices(self) -> int:
+        # accessible outside apply: derived from config, not submodules
+        return self.num_slices * 4
+
+    def ctx_support(self, i, decoded):
+        from .base import sliding_support
+
+        return sliding_support(self.max_support)(i, decoded)
+
+    def slice_context(self, i, state, support):
+        return self.coder.slice_context(i, state, support)
+
+    def slice_lrp(self, i, mean_support, y_hat_slice):
+        # stf10's coder runs with apply_lrp=False (stf10.py:990-1003)
+        return jnp.zeros_like(y_hat_slice)
+
+    def ctx_assemble(self, y_hat_slices):
+        return self.coder.ctx_assemble(y_hat_slices)
+
+    def eb_medians(self):
+        return self.coder.eb_medians()

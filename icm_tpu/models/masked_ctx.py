@@ -403,3 +403,68 @@ class ClipEncoder(_MaskedBase):
 
         x_hat = self.g_s(y_hat, deterministic=not training)
         return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}
+
+    # --- coder-facing stages (crc_codec.Stf2Codec) --------------------------
+    def analyze_tokens(self, x):
+        """x -> (y tokens (B,N,D), means window (B,N,s,D), scales window,
+        z, lattice dims)."""
+        ws = self.mask_win_size
+        s = self.num_sliding
+        y = self.g_a(x, deterministic=True)
+        z = self.h_a(y)
+        return y, z
+
+    def token_windows(self, y, z_hat):
+        ws = self.mask_win_size
+        s = self.num_sliding
+        means = self.h_mean_s(z_hat)
+        scales = self.h_scale_s(z_hat)
+        yp, nH, nW, _, _ = _pad_to_windows(y, ws)
+        mp = _pad_to_windows(means, ws)[0]
+        sp = _pad_to_windows(scales, ws)[0]
+        y_tok = self._tokens_flat(self._window_tokens(yp, nH, nW))
+        m_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
+        s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        m_win = _causal_windows(m_tok, s, include_current=True)
+        s_win = _causal_windows(s_tok, s, include_current=True)
+        return y_tok, m_win, s_win, (nH, nW)
+
+    def token_context(self, m_win_i, s_win_i, prev):
+        """One AR step's mu/scale from the attention context (heads are
+        shared across steps, so this is step-index independent)."""
+        B = m_win_i.shape[0]
+        ws = self.mask_win_size
+        Cp = self.slice_ch
+        s = self.num_sliding
+
+        def to_spatial(tokens):
+            k = tokens.shape[1]
+            h = tokens.reshape(B, k, ws, ws, Cp)
+            return h.transpose(0, 2, 3, 1, 4).reshape(B, ws, ws, k * Cp)
+
+        ctx_mu = self.mu_ctx(jnp.concatenate([m_win_i, prev], axis=1))
+        ctx_sigma = self.sigma_ctx(jnp.concatenate([s_win_i, prev], axis=1))
+        mu = self.cc_mean_head(to_spatial(ctx_mu))
+        scale = self.cc_scale_head(to_spatial(ctx_sigma))
+        return mu, scale, to_spatial(ctx_mu)
+
+    def token_lrp(self, ctx_mu_spatial, y_hat_token):
+        lrp = self.lrp_head(
+            jnp.concatenate([ctx_mu_spatial, y_hat_token], axis=-1)
+        )
+        return 0.5 * jnp.tanh(lrp)
+
+    def tokens_assemble(self, y_hat_toks, lattice, out_hw):
+        ws = self.mask_win_size
+        Cp = self.slice_ch
+        nH, nW = lattice
+        B = y_hat_toks[0].shape[0]
+        zz = jnp.stack(
+            [t.reshape(B, ws, ws, Cp) for t in y_hat_toks], axis=1
+        )
+        y_hat = self._merge(zz, nH, nW)
+        H, W = out_hw
+        return y_hat[:, :H, :W]
+
+    def synthesize(self, y_hat, training: bool = False):
+        return self.g_s(y_hat, deterministic=not training)

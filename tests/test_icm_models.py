@@ -147,3 +147,20 @@ def test_cnn2_codec_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
     )
+
+
+def test_stf10_codec_roundtrip():
+    """stf10 codes with the generic CharmCodec: every stage (analysis,
+    hyper, context, synthesis) goes through the prompt-fused variants."""
+    from icm_tpu.models import CharmCodec
+
+    model = create_model("stf10", **TINY_CODEC, with_task_net=False)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(_rngs(), x)
+    codec = CharmCodec(model, variables)
+    enc = codec.compress(x, return_debug=True)
+    dec = codec.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    assert dec["x_hat"].shape == x.shape

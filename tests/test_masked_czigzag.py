@@ -109,3 +109,22 @@ def test_czigzag_codec_roundtrip():
         np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
     )
     assert dec["x_hat"].shape == x.shape
+
+
+def test_stf2_codec_roundtrip():
+    from icm_tpu.models.crc_codec import Stf2Codec
+
+    m = create_model(
+        "stf2", **TINY_SWIN, num_slices=2, mask_win_size=2, num_sliding=3
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = _init(m, x)
+    codec = Stf2Codec(m, v)
+    enc = codec.compress(x, return_debug=True)
+    dec = codec.decompress(
+        enc["strings"], enc["shape"], enc["out_hw"], enc["lattice"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    assert dec["x_hat"].shape == x.shape

@@ -86,7 +86,7 @@ def eval_image(args):
     codec = None
     kind = {
         "stf9": "crc", "stf11": "crc", "stf12": "crc", "stf14": "crc",
-        "stf13": "crc3", "seg_oj_ICM": "segoj",
+        "stf13": "crc3", "seg_oj_ICM": "segoj", "stf2": "stf2",
     }.get(args.model, "charm")
     if not args.entropy_estimation:
         try:
@@ -102,6 +102,10 @@ def eval_image(args):
                 from icm_tpu.models import SegOjCodec
 
                 codec = SegOjCodec(model, variables)
+            elif kind == "stf2":
+                from icm_tpu.models.crc_codec import Stf2Codec
+
+                codec = Stf2Codec(model, variables)
             else:
                 from icm_tpu.models import CharmCodec
 
@@ -134,6 +138,11 @@ def eval_image(args):
             elif kind == "segoj":
                 dec = codec.decompress(
                     enc["strings"], enc["shape"], enc["seg_shape"]
+                )
+            elif kind == "stf2":
+                dec = codec.decompress(
+                    enc["strings"], enc["shape"], enc["out_hw"],
+                    enc["lattice"],
                 )
             else:
                 dec = codec.decompress(enc["strings"], enc["shape"])
