@@ -7,6 +7,7 @@ from .transforms import (
 )
 from .coco import CocoDetectionDataset, coco_collate
 from .csv_dataset import CSVDataset
+from .openimages import OpenImagesDataset
 from .segmentation import COCOSegmentation
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "resize_min_max_side",
     "CocoDetectionDataset",
     "CSVDataset",
+    "OpenImagesDataset",
     "coco_collate",
     "COCOSegmentation",
 ]
