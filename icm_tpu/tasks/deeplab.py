@@ -79,6 +79,18 @@ class DeepLabV3(nn.Module):
             self.encoder = MobileNetV2Backbone(
                 output_stride=self.output_stride, train_bn=self.train_bn
             )
+        elif self.backbone == "xception":
+            from .backbones import XceptionBackbone
+
+            self.encoder = XceptionBackbone(
+                output_stride=self.output_stride, train_bn=self.train_bn
+            )
+        elif self.backbone.startswith("hrnetv2"):
+            from .backbones import HRNetV2Backbone
+
+            self.encoder = HRNetV2Backbone(
+                c=int(self.backbone.split("_")[-1]), train_bn=self.train_bn
+            )
         else:
             layers = {
                 "resnet18": ("basic", (2, 2, 2, 2)),
@@ -92,13 +104,19 @@ class DeepLabV3(nn.Module):
                 output_stride=self.output_stride,
                 train_bn=self.train_bn,
             )
-        rates = (6, 12, 18) if self.output_stride == 16 else (12, 24, 36)
+        # HRNetV2 feeds ASPP at 1/4 resolution -> the reference fixes its
+        # rates at (12, 24, 36) regardless of output_stride (modeling.py:19)
+        if self.backbone.startswith("hrnetv2"):
+            rates = (12, 24, 36)
+        else:
+            rates = (6, 12, 18) if self.output_stride == 16 else (12, 24, 36)
         self.aspp = ASPP(rates=rates, train_bn=self.train_bn)
 
     @nn.compact
     def __call__(self, x):
         H, W = x.shape[1:3]
-        if self.backbone == "mobilenetv2":
+        if self.backbone == "mobilenetv2" or self.backbone == "xception" \
+                or self.backbone.startswith("hrnetv2"):
             c2, c5 = self.encoder(x)
         else:
             c2, c3, c4, c5 = self.encoder(x)
@@ -152,4 +170,10 @@ deeplab_models = {
     "deeplabv3plus_resnet101": _factory("resnet101", True),
     "deeplabv3_mobilenet": _factory("mobilenetv2", False),
     "deeplabv3plus_mobilenet": _factory("mobilenetv2", True),
+    "deeplabv3_xception": _factory("xception", False),
+    "deeplabv3plus_xception": _factory("xception", True),
+    "deeplabv3_hrnetv2_32": _factory("hrnetv2_32", False),
+    "deeplabv3_hrnetv2_48": _factory("hrnetv2_48", False),
+    "deeplabv3plus_hrnetv2_32": _factory("hrnetv2_32", True),
+    "deeplabv3plus_hrnetv2_48": _factory("hrnetv2_48", True),
 }

@@ -77,3 +77,17 @@ def test_deeplab_mobilenet():
     v = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(v, x)
     assert out.shape == (1, 64, 64, 4)
+
+
+def test_deeplab_xception_and_hrnet_backbones():
+    import jax
+    import jax.numpy as jnp
+
+    from icm_tpu.tasks.deeplab import DeepLabV3
+
+    x = jnp.zeros((1, 64, 64, 3))
+    for backbone, plus in [("xception", True), ("hrnetv2_32", False)]:
+        m = DeepLabV3(num_classes=5, backbone=backbone, plus=plus)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (1, 64, 64, 5), (backbone, out.shape)
