@@ -95,3 +95,46 @@ def strip_backbone_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {
         k.split(".", 1)[1]: v for k, v in sd.items() if "backbone" in k.split(".")[0]
     }
+
+
+def convert_torchvision_resnet(
+    sd: Dict[str, np.ndarray],
+    block: str = "bottleneck",
+    layers=(3, 4, 6, 3),
+):
+    """torchvision ResNet state dict -> ResNetBackbone variables
+    ({"params", "batch_stats"}). Covers the RetinaNet teacher path (the
+    reference loads torchvision resnet50 weights into its detector's
+    backbone, retinanet/model.py:530-545).
+
+    Mapping: stem conv1/bn1 -> Conv_0/BatchNorm_0; block
+    ``layer{L}.{i}.conv{k}/bn{k}`` -> ``layer{L}_{i}/Conv_{k-1}/
+    BatchNorm_{k-1}``; ``downsample.0/.1`` -> the block's last
+    Conv/BatchNorm slot (Conv_2 for basic, Conv_3 for bottleneck)."""
+    n_convs = 2 if block == "basic" else 3
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+
+    def put(path, conv_idx, conv_key, bn_key):
+        node_p = params.setdefault(path, {})
+        node_s = stats.setdefault(path, {})
+        node_p[f"Conv_{conv_idx}"] = convert_conv(sd[conv_key + ".weight"])
+        bp, bs = convert_batchnorm(bn_key, sd)
+        node_p[f"BatchNorm_{conv_idx}"] = bp
+        node_s[f"BatchNorm_{conv_idx}"] = bs
+
+    put("", 0, "conv1", "bn1")
+    stem_p, stem_s = params.pop(""), stats.pop("")
+    params.update(stem_p)
+    stats.update(stem_s)
+
+    for L, reps in enumerate(layers, start=1):
+        for i in range(reps):
+            path = f"layer{L}_{i}"
+            for k in range(n_convs):
+                put(path, k, f"layer{L}.{i}.conv{k + 1}",
+                    f"layer{L}.{i}.bn{k + 1}")
+            if f"layer{L}.{i}.downsample.0.weight" in sd:
+                put(path, n_convs, f"layer{L}.{i}.downsample.0",
+                    f"layer{L}.{i}.downsample.1")
+    return {"params": params, "batch_stats": stats}
