@@ -107,6 +107,78 @@ void encode_ops(const std::vector<Op>& ops, std::vector<uint8_t>& out) {
   }
 }
 
+// Direct reverse-order encode: LIFO without materializing the op buffer.
+// Iterates symbols backward; within a symbol the forward op order is
+// [sym, count-chunks..., value-chunks...], so reversed processing emits
+// value chunks (reversed), count chunks (reversed), then the symbol.
+// Produces the identical byte stream to build_ops + encode_ops.
+void encode_reverse(const int32_t* symbols, const int32_t* indexes, int64_t n,
+                    const int32_t* cdfs, int64_t cdf_stride,
+                    const int32_t* cdf_lengths, const int32_t* offsets,
+                    std::vector<uint8_t>& out) {
+  uint64_t state = kRansL;
+  std::vector<uint32_t> words;
+  words.reserve(static_cast<size_t>(n) / 2 + 4);
+
+  auto put_bits = [&](uint32_t bits) {
+    constexpr uint64_t x_max = (kRansL >> kBypassPrecision) << 32;
+    while (state >= x_max) {
+      words.push_back(static_cast<uint32_t>(state));
+      state >>= 32;
+    }
+    state = (state << kBypassPrecision) | bits;
+  };
+
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int32_t idx = indexes[i];
+    const int32_t* cdf = cdfs + idx * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    int32_t value = symbols[i] - offsets[idx];
+    uint32_t raw_val = 0;
+    bool bypass = false;
+    if (value < 0) {
+      raw_val = static_cast<uint32_t>(-2 * value - 1);
+      value = max_value;
+      bypass = true;
+    } else if (value >= max_value) {
+      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+      value = max_value;
+      bypass = true;
+    }
+    if (bypass || value == max_value) {
+      int32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      for (int32_t j = n_bypass - 1; j >= 0; --j) {
+        put_bits((raw_val >> (j * kBypassPrecision)) & kMaxBypass);
+      }
+      // count chunks, reversed: forward order is floor(n/15) full chunks
+      // then the remainder — reversed emits remainder first
+      int32_t val = n_bypass;
+      put_bits(static_cast<uint32_t>(val % kMaxBypass));
+      for (int32_t j = 0; j < val / kMaxBypass; ++j) {
+        put_bits(static_cast<uint32_t>(kMaxBypass));
+      }
+    }
+    const uint32_t start = static_cast<uint32_t>(cdf[value]);
+    const uint64_t freq = static_cast<uint32_t>(cdf[value + 1]) - start;
+    const uint64_t x_max = ((kRansL >> kPrecision) << 32) * freq;
+    while (state >= x_max) {
+      words.push_back(static_cast<uint32_t>(state));
+      state >>= 32;
+    }
+    state = ((state / freq) << kPrecision) + (state % freq) + start;
+  }
+
+  const size_t nw = words.size() + 2;
+  out.resize(nw * 4);
+  uint32_t* w = reinterpret_cast<uint32_t*>(out.data());
+  w[0] = static_cast<uint32_t>(state >> 32);
+  w[1] = static_cast<uint32_t>(state);
+  for (size_t i = 0; i < words.size(); ++i) {
+    w[2 + i] = words[words.size() - 1 - i];
+  }
+}
+
 struct Decoder {
   std::vector<uint32_t> words;
   uint64_t state = 0;
@@ -201,10 +273,9 @@ int64_t rans_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
                                  int64_t n, const int32_t* cdfs,
                                  int64_t cdf_stride, const int32_t* cdf_lengths,
                                  const int32_t* offsets, uint8_t** out) {
-  std::vector<Op> ops;
-  build_ops(symbols, indexes, n, cdfs, cdf_stride, cdf_lengths, offsets, ops);
   std::vector<uint8_t> buf;
-  encode_ops(ops, buf);
+  encode_reverse(symbols, indexes, n, cdfs, cdf_stride, cdf_lengths, offsets,
+                 buf);
   *out = static_cast<uint8_t*>(std::malloc(buf.size()));
   std::memcpy(*out, buf.data(), buf.size());
   return static_cast<int64_t>(buf.size());
@@ -337,10 +408,8 @@ int64_t rans_encode_batch(const int32_t* symbols, const int32_t* indexes,
   std::vector<std::thread> threads;
   auto work = [&](int tid) {
     for (int64_t b = tid; b < batch; b += nt) {
-      std::vector<Op> ops;
-      build_ops(symbols + b * per_item, indexes + b * per_item, per_item, cdfs,
-                cdf_stride, cdf_lengths, offsets, ops);
-      encode_ops(ops, bufs[b]);
+      encode_reverse(symbols + b * per_item, indexes + b * per_item, per_item,
+                     cdfs, cdf_stride, cdf_lengths, offsets, bufs[b]);
     }
   };
   for (int t = 1; t < nt; ++t) threads.emplace_back(work, t);
