@@ -29,6 +29,7 @@ constexpr int kPrecision = 16;
 constexpr int kBypassPrecision = 4;
 constexpr int32_t kMaxBypass = (1 << kBypassPrecision) - 1;
 constexpr uint64_t kRansL = 1ull << 31;
+constexpr int kBucketBits = 8;  // decode bucket-LUT width (64 rows -> 32KB)
 
 struct Op {
   // kind 0: symbol (a = start, b = freq); kind 1: bypass bits (a = value)
@@ -218,8 +219,11 @@ struct Decoder {
       const uint32_t cum = static_cast<uint32_t>(state & mask);
       int32_t lo;
       if (lut != nullptr) {
-        // O(1) cum -> symbol lookup (table built per CDF row)
-        lo = lut[(static_cast<int64_t>(idx) << kPrecision) | cum];
+        // bucket table (see EntropyTables.symbol_lut): start symbol for
+        // this 256-wide cum bucket, then a short scan in the cached row
+        lo = lut[(static_cast<int64_t>(idx) << kBucketBits) |
+                 (cum >> (kPrecision - kBucketBits))];
+        while (static_cast<uint32_t>(cdf[lo + 1]) <= cum) ++lo;
       } else {
         // largest s with cdf[s] <= cum (cdf strictly increasing)
         int32_t hi = L - 1;

@@ -40,22 +40,25 @@ class EntropyTables:
     def num_distributions(self) -> int:
         return int(self.quantized_cdf.shape[0])
 
-    def symbol_lut(self, precision: int = 16) -> np.ndarray:
-        """(n, 2**precision) uint16 cum -> symbol direct-lookup table for
-        O(1) rANS decoding (vs per-symbol binary search). ~128KB/row at
-        precision 16; built lazily and cached."""
+    def symbol_lut(self, bucket_bits: int = 8) -> np.ndarray:
+        """(n, 2**bucket_bits) uint16 bucket table for fast rANS decode:
+        entry b holds the largest symbol s with cdf[s] <= (b << shift),
+        where shift = 16 - bucket_bits; the decoder finishes with a short
+        linear scan inside the (cache-resident) CDF row. A full 2**16
+        direct LUT is 128KB/row and thrashes cache on random cum values;
+        the 512B/row bucket table stays in L1. Built lazily and cached."""
         cached = getattr(self, "_lut_cache", None)
         if cached is not None:
             return cached
         n = self.num_distributions
-        total = 1 << precision
-        lut = np.empty((n, total), np.uint16)
+        shift = 16 - bucket_bits
+        starts = np.arange(1 << bucket_bits, dtype=np.int64) << shift
+        lut = np.empty((n, 1 << bucket_bits), np.uint16)
         for i in range(n):
             L = int(self.cdf_length[i])
-            freqs = np.diff(self.quantized_cdf[i, :L].astype(np.int64))
-            lut[i] = np.repeat(
-                np.arange(L - 1, dtype=np.uint16), freqs
-            )
+            row = self.quantized_cdf[i, :L].astype(np.int64)
+            s = np.searchsorted(row, starts, side="right") - 1
+            lut[i] = np.clip(s, 0, L - 2).astype(np.uint16)
         object.__setattr__(self, "_lut_cache", lut)
         return lut
 
