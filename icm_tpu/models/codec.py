@@ -83,6 +83,16 @@ def _eb_indexes(shape_hw: tuple, C: int) -> np.ndarray:
     return np.tile(np.arange(C, dtype=np.int32), h * w)
 
 
+def _put_symbols(sym: np.ndarray) -> jax.Array:
+    """Host->device symbol transfer, narrowed to int16 when every value
+    fits (it always does for in-range streams; bypass escapes can
+    exceed it, so check). Device-side stages cast to float anyway, so
+    the narrower wire dtype changes no math."""
+    if sym.size and np.abs(sym).max() < 32768:
+        sym = sym.astype(np.int16)
+    return jnp.asarray(sym)
+
+
 class CharmCodec:
     """compress()/decompress() driver over the ChARM protocol
     (see ``base.CompressionModel``)."""
@@ -122,7 +132,12 @@ class CharmCodec:
             mu, scale, mean_support = mdl.apply(
                 v, i, state, support, method=mdl.slice_context
             )
-            index = build_indexes(scale, self._scale_table_dev)
+            # uint8 on the wire: 64 scale levels, 4x less host<->device
+            # traffic per slice (the link, not the coder, is the decode
+            # bottleneck on remote-device setups)
+            index = build_indexes(scale, self._scale_table_dev).astype(
+                jnp.uint8
+            )
             return mu, scale, index, mean_support
 
         @functools.partial(jax.jit, static_argnums=(1,))
@@ -173,10 +188,11 @@ class CharmCodec:
         C = t.num_distributions
         B = len(strings)
         idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
-        sym = coding.decode_batch(
-            strings, idx, t.quantized_cdf, t.cdf_length, t.offset
+        sym = coding.BatchRansDecoder(strings).decode_stream(
+            idx, t.quantized_cdf, t.cdf_length, t.offset,
+            lut=t.symbol_lut(),
         )
-        sym = jnp.asarray(sym.reshape(B, h, w, C))
+        sym = _put_symbols(sym.reshape(B, h, w, C))
         return self._z_dequant(self.variables, sym)
 
     # --- public API --------------------------------------------------------
@@ -242,7 +258,7 @@ class CharmCodec:
                 idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset, lut=lut
             )
             y_hat_slice = self._slice_decode(
-                v, i, jnp.asarray(sym), mu, mean_support
+                v, i, _put_symbols(sym), mu, mean_support
             )
             y_hat_slices.append(y_hat_slice)
 
