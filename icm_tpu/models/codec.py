@@ -112,7 +112,9 @@ class CharmCodec:
         @jax.jit
         def z_symbols(v, z):
             med = mdl.apply(v, method=mdl.eb_medians)
-            return jnp.round(z - med).astype(jnp.int32)
+            sym = jnp.round(z - med).astype(jnp.int32)
+            ovf = jnp.any(jnp.abs(sym) > 32767)
+            return sym.astype(jnp.int16), ovf, sym
 
         @jax.jit
         def z_dequant(v, sym):
@@ -153,6 +155,34 @@ class CharmCodec:
             lrp = mdl.apply(v, i, mean_support, y_hat, method=mdl.slice_lrp)
             return y_hat + lrp
 
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def quantize_slice(v, i, y_slice, mu):
+            """Encoder-side rounding; int16 on the wire with an overflow
+            flag (bypass escapes can exceed int16 — re-fetch int32 then)."""
+            sym = jnp.round(y_slice - mu).astype(jnp.int32)
+            ovf = jnp.any(jnp.abs(sym) > 32767)
+            return sym.astype(jnp.int16), ovf, sym
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def step(v, i, state, decoded, sym, mu, mean_support):
+            """Reconstruct slice i AND compute slice i+1's context in one
+            dispatch. Shared verbatim by the encoder and decoder, so the
+            autoregressive float context stays bit-identical on both
+            sides (the design invariant of this codec)."""
+            y_hat = sym.astype(mu.dtype) + mu
+            lrp = mdl.apply(v, i, mean_support, y_hat, method=mdl.slice_lrp)
+            y_hat = y_hat + lrp
+            if i + 1 >= mdl.ctx_slices:
+                return (y_hat,)
+            support = mdl.ctx_support(i + 1, list(decoded) + [y_hat])
+            mu2, scale2, ms2 = mdl.apply(
+                v, i + 1, state, support, method=mdl.slice_context
+            )
+            index2 = build_indexes(scale2, self._scale_table_dev).astype(
+                jnp.uint8
+            )
+            return y_hat, mu2, index2, ms2
+
         @jax.jit
         def assemble_synthesize(v, y_hat_slices):
             y_hat = mdl.apply(v, y_hat_slices, method=mdl.ctx_assemble)
@@ -167,19 +197,21 @@ class CharmCodec:
         self._slice_context = slice_context
         self._slice_encode = slice_encode
         self._slice_decode = slice_decode
+        self._quantize_slice = quantize_slice
+        self._step = step
         self._assemble_synthesize = assemble_synthesize
 
     # --- z (factorized bottleneck) -----------------------------------------
     def _z_tables(self) -> EntropyTables:
         return self.tables.bottlenecks["entropy_bottleneck"]
 
-    def _encode_z(self, z) -> List[bytes]:
-        sym = np.asarray(jax.device_get(self._z_symbols(self.variables, z)))
+    def _encode_z_host(self, sym: np.ndarray) -> List[bytes]:
         B, h, w, C = sym.shape
         t = self._z_tables()
         idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
         return coding.encode_batch(
-            sym.reshape(B, -1), idx, t.quantized_cdf, t.cdf_length, t.offset
+            sym.reshape(B, -1).astype(np.int32), idx,
+            t.quantized_cdf, t.cdf_length, t.offset,
         )
 
     def _decode_z(self, strings: List[bytes], shape_hw) -> jax.Array:
@@ -205,30 +237,52 @@ class CharmCodec:
         B = x.shape[0]
         zh, zw = z.shape[1], z.shape[2]
 
-        z_strings = self._encode_z(z)
-        # encoder replicates decoder state: z_hat from the coded symbols
-        z_hat = self._z_dequant(v, self._z_symbols(v, z))
+        # the whole encode loop is async dispatch: the host needs symbols
+        # and indexes only for the final rANS pass, so everything leaves
+        # the device in ONE batched device_get at the end (each blocking
+        # fetch inside the loop costs a full link round-trip)
+        z16, z_ovf, z_sym = self._z_symbols(v, z)
+        z_hat = self._z_dequant(v, z_sym)  # encoder replicates decoder state
 
         state = self._ctx_prepare(v, z_hat)
         y_slices = self._latent_slices(v, y)
 
         gt = self.tables.gaussian
         y_hat_slices: List[jax.Array] = []
-        sym_list, idx_list = [], []
+        sym16s, ovfs, sym32s, idxs = [], [], [], []
+        mu, _, index, mean_support = self._slice_context(v, 0, state, [])
         for i in range(self.model.ctx_slices):
-            support = self.model.ctx_support(i, y_hat_slices)
-            mu, scale, index, mean_support = self._slice_context(
-                v, i, state, support
+            sym16, ovf, sym32 = self._quantize_slice(v, i, y_slices[i], mu)
+            # step consumes the exact device-side int32 symbols (sym16 is
+            # only the wire format; it wraps on the rare bypass overflow)
+            out = self._step(
+                v, i, state, y_hat_slices, sym32, mu, mean_support
             )
-            sym, y_hat_slice = self._slice_encode(
-                v, i, y_slices[i], mu, mean_support
-            )
-            sym_list.append(np.asarray(jax.device_get(sym)).reshape(B, -1))
-            idx_list.append(np.asarray(jax.device_get(index)).reshape(B, -1))
-            y_hat_slices.append(y_hat_slice)
+            sym16s.append(sym16)
+            ovfs.append(ovf)
+            sym32s.append(sym32)
+            idxs.append(index)
+            y_hat_slices.append(out[0])
+            if len(out) > 1:
+                mu, index, mean_support = out[1], out[2], out[3]
 
-        symbols = np.concatenate(sym_list, axis=1)
-        indexes = np.concatenate(idx_list, axis=1)
+        z_sym_h, z_ovf_h, sym_h, ovf_h, idx_h = jax.device_get(
+            (z16, z_ovf, sym16s, ovfs, idxs)
+        )
+        if bool(z_ovf_h):  # rare: bypass symbol beyond int16 — exact refetch
+            z_sym_h = jax.device_get(z_sym)
+        for i, o in enumerate(ovf_h):
+            if bool(o):
+                sym_h[i] = jax.device_get(sym32s[i])
+
+        z_strings = self._encode_z_host(np.asarray(z_sym_h))
+        symbols = np.concatenate(
+            [np.asarray(s).astype(np.int32).reshape(B, -1) for s in sym_h],
+            axis=1,
+        )
+        indexes = np.concatenate(
+            [np.asarray(ii).reshape(B, -1) for ii in idx_h], axis=1
+        )
         y_strings = coding.encode_batch(
             symbols, indexes, gt.quantized_cdf, gt.cdf_length, gt.offset
         )
@@ -250,17 +304,18 @@ class CharmCodec:
         decoder = coding.BatchRansDecoder(y_strings)
 
         y_hat_slices: List[jax.Array] = []
+        mu, _, index, mean_support = self._slice_context(v, 0, state, [])
         for i in range(self.model.ctx_slices):
-            support = self.model.ctx_support(i, y_hat_slices)
-            mu, _, index, mean_support = self._slice_context(v, i, state, support)
             idx_np = np.asarray(jax.device_get(index))
             sym = decoder.decode_stream(
                 idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset, lut=lut
             )
-            y_hat_slice = self._slice_decode(
-                v, i, _put_symbols(sym), mu, mean_support
+            out = self._step(
+                v, i, state, y_hat_slices, _put_symbols(sym), mu, mean_support
             )
-            y_hat_slices.append(y_hat_slice)
+            y_hat_slices.append(out[0])
+            if len(out) > 1:
+                mu, index, mean_support = out[1], out[2], out[3]
 
         y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
         return {"x_hat": x_hat, "y_hat": y_hat}
