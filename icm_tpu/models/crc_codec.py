@@ -54,45 +54,14 @@ class CRCCodec:
 
             return mdl.apply(v, method=f)
 
-        @jax.jit
-        def m_eb_medians(v):
-            return mdl.apply(v, method=lambda m: _coder(m).eb_medians())
+        # machine charm layer: shared stage driver (uint8 indexes, fused
+        # reconstruct+next-context step, async encode loop)
+        from .base import sliding_support
 
-        @jax.jit
-        def m_ctx_prepare(v, z_hat):
-            return mdl.apply(v, method=lambda m: _coder(m).ctx_prepare(z_hat))
-
-        @jax.jit
-        def m_latent_slices(v, y):
-            return mdl.apply(v, method=lambda m: _coder(m).latent_slices(y))
-
-        import functools
-
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def m_slice_context(v, i, state, support):
-            mu, scale, ms = mdl.apply(
-                v, method=lambda m: _coder(m).slice_context(i, state, support)
-            )
-            return mu, scale, build_indexes(scale, self._scale_table_dev), ms
-
-        @functools.partial(jax.jit, static_argnums=(1, 5))
-        def m_slice_code(v, i, sym_or_y, mu, mean_support, encode):
-            def f(m):
-                c = _coder(m)
-                if encode:
-                    sym = jnp.round(sym_or_y - mu).astype(jnp.int32)
-                else:
-                    sym = sym_or_y
-                y_hat = sym.astype(mu.dtype) + mu
-                if c.apply_lrp:
-                    y_hat = y_hat + c.slice_lrp(i, mean_support, y_hat)
-                return sym, y_hat
-
-            return mdl.apply(v, method=f)
-
-        @jax.jit
-        def m_assemble(v, slices):
-            return mdl.apply(v, method=lambda m: _coder(m).ctx_assemble(slices))
+        self._machine = _CharmLayerDriver(
+            model, self._scale_table_dev, _coder, "machine"
+        )
+        self._support = sliding_support(model.max_support)
 
         # --- human layer stages -------------------------------------------
         @jax.jit
@@ -132,12 +101,6 @@ class CRCCodec:
             return mdl.apply(v, human_y_hat, y_hat, method=mdl.human_synthesize)
 
         self._m_analyze = m_analyze
-        self._m_eb_medians = m_eb_medians
-        self._m_ctx_prepare = m_ctx_prepare
-        self._m_latent_slices = m_latent_slices
-        self._m_slice_context = m_slice_context
-        self._m_slice_code = m_slice_code
-        self._m_assemble = m_assemble
         self._human_encode_prep = human_encode_prep
         self._human_z_symbols = human_z_symbols
         self._human_z_dequant = human_z_dequant
@@ -167,30 +130,12 @@ class CRCCodec:
 
     # --- machine layer charm loop (shared by both directions) ---------------
     def _machine_decode_loop(self, v, state, decoder=None, y_slices=None):
-        from .base import sliding_support
-
         gt = self.tables.gaussian
-        support_fn = sliding_support(self.model.max_support)
-        sym_list, idx_list, slices = [], [], []
-        for i in range(self.model.num_slices * 4):
-            support = support_fn(i, slices)
-            mu, scale, index, ms = self._m_slice_context(v, i, state, support)
-            if decoder is None:  # encode
-                sym, y_hat = self._m_slice_code(v, i, y_slices[i], mu, ms, True)
-                sym_list.append(np.asarray(jax.device_get(sym)).reshape(
-                    sym.shape[0], -1))
-                idx_list.append(np.asarray(jax.device_get(index)).reshape(
-                    index.shape[0], -1))
-            else:
-                idx_np = np.asarray(jax.device_get(index))
-                sym = decoder.decode_stream(
-                    idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset
-                )
-                _, y_hat = self._m_slice_code(
-                    v, i, jnp.asarray(sym), mu, ms, False
-                )
-            slices.append(y_hat)
-        return slices, sym_list, idx_list
+        lut = gt.symbol_lut() if decoder is not None else None
+        return self._machine.run_loop(
+            v, state, self.model.num_slices * 4, self._support, gt,
+            decoder=decoder, y_slices=y_slices, lut=lut,
+        )
 
     # --- public API ----------------------------------------------------------
     def compress(self, x, return_debug: bool = False) -> Dict[str, Any]:
@@ -200,13 +145,13 @@ class CRCCodec:
         zh, zw = z.shape[1], z.shape[2]
 
         z_sym = np.asarray(jax.device_get(
-            jnp.round(z - self._m_eb_medians(v)).astype(jnp.int32)
+            jnp.round(z - self._machine.eb_medians(v)).astype(jnp.int32)
         ))
         z_strings = self._code_z(z_sym, "entropy_bottleneck")
-        z_hat = jnp.asarray(z_sym, jnp.float32) + self._m_eb_medians(v)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + self._machine.eb_medians(v)
 
-        state = self._m_ctx_prepare(v, z_hat)
-        y_slices = self._m_latent_slices(v, y)
+        state = self._machine.ctx_prepare(v, z_hat)
+        y_slices = self._machine.latent_slices(v, y)
         slices, sym_list, idx_list = self._machine_decode_loop(
             v, state, decoder=None, y_slices=y_slices
         )
@@ -216,7 +161,7 @@ class CRCCodec:
             np.concatenate(idx_list, axis=1),
             gt.quantized_cdf, gt.cdf_length, gt.offset,
         )
-        y_hat = self._m_assemble(v, slices)
+        y_hat = self._machine.assemble(v, slices)
 
         # human layer
         human_y, human_z = self._human_encode_prep(v, x, y_hat)
@@ -247,11 +192,11 @@ class CRCCodec:
         v = self.variables
         y_strings, z_strings, hy_strings, hz_strings = strings
         z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
-        z_hat = jnp.asarray(z_sym, jnp.float32) + self._m_eb_medians(v)
-        state = self._m_ctx_prepare(v, z_hat)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + self._machine.eb_medians(v)
+        state = self._machine.ctx_prepare(v, z_hat)
         decoder = coding.BatchRansDecoder(y_strings)
         slices, _, _ = self._machine_decode_loop(v, state, decoder=decoder)
-        y_hat = self._m_assemble(v, slices)
+        y_hat = self._machine.assemble(v, slices)
 
         hz_sym = self._decode_z(hz_strings, human_shape, "entropy_bottleneck_human")
         hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
@@ -298,7 +243,9 @@ class _CharmLayerDriver:
             mu, scale, ms = model.apply(
                 v, method=lambda m: getter(m).slice_context(i, state, support)
             )
-            return mu, scale, build_indexes(scale, scale_table_dev), ms
+            # uint8 on the wire (64 scale levels): 4x less link traffic
+            index = build_indexes(scale, scale_table_dev).astype(jnp.uint8)
+            return mu, scale, index, ms
 
         @functools.partial(jax.jit, static_argnums=(1, 5))
         def slice_code(v, i, sym_or_y, mu, mean_support, encode):
@@ -315,6 +262,33 @@ class _CharmLayerDriver:
 
             return model.apply(v, method=f)
 
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def quantize(v, i, y_slice, mu):
+            sym = jnp.round(y_slice - mu).astype(jnp.int32)
+            return sym.astype(jnp.int16), jnp.any(jnp.abs(sym) > 32767), sym
+
+        @functools.partial(jax.jit, static_argnums=(1, 2, 8))
+        def step(v, i, support_fn, state, decoded, sym, mu, ms, n_slices):
+            """Reconstruct slice i + compute slice i+1's context in one
+            dispatch; shared by encode and decode so the AR float context
+            is bit-identical on both sides (see CharmCodec.step)."""
+
+            def f(m):
+                c = getter(m)
+                y_hat = sym.astype(mu.dtype) + mu
+                if c.apply_lrp:
+                    y_hat = y_hat + c.slice_lrp(i, ms, y_hat)
+                if i + 1 >= n_slices:
+                    return (y_hat,)
+                support = support_fn(i + 1, list(decoded) + [y_hat])
+                mu2, scale2, ms2 = c.slice_context(i + 1, state, support)
+                idx2 = build_indexes(scale2, scale_table_dev).astype(
+                    jnp.uint8
+                )
+                return y_hat, mu2, idx2, ms2
+
+            return model.apply(v, method=f)
+
         @jax.jit
         def assemble(v, slices):
             return model.apply(v, method=lambda m: getter(m).ctx_assemble(slices))
@@ -325,30 +299,55 @@ class _CharmLayerDriver:
         self.latent_slices = latent_slices
         self.slice_context = slice_context
         self.slice_code = slice_code
+        self.quantize = quantize
+        self.step = step
         self.assemble = assemble
 
     def run_loop(self, v, state, ctx_slices, support_fn, gaussian,
                  decoder=None, y_slices=None, lut=None):
         sym_list, idx_list, slices = [], [], []
-        for i in range(ctx_slices):
-            support = support_fn(i, slices)
-            mu, scale, index, ms = self.slice_context(v, i, state, support)
-            if decoder is None:
-                sym, y_hat = self.slice_code(v, i, y_slices[i], mu, ms, True)
-                sym_list.append(
-                    np.asarray(jax.device_get(sym)).reshape(sym.shape[0], -1)
+        mu, _, index, ms = self.slice_context(v, 0, state, support_fn(0, []))
+        if decoder is None:
+            # encode: pure async dispatch, one batched fetch at the end
+            sym16s, ovfs, sym32s, idxs = [], [], [], []
+            for i in range(ctx_slices):
+                sym16, ovf, sym32 = self.quantize(v, i, y_slices[i], mu)
+                out = self.step(
+                    v, i, support_fn, state, slices, sym32, mu, ms,
+                    ctx_slices,
                 )
-                idx_list.append(
-                    np.asarray(jax.device_get(index)).reshape(index.shape[0], -1)
-                )
-            else:
+                sym16s.append(sym16)
+                ovfs.append(ovf)
+                sym32s.append(sym32)
+                idxs.append(index)
+                slices.append(out[0])
+                if len(out) > 1:
+                    mu, index, ms = out[1], out[2], out[3]
+            sym_h, ovf_h, idx_h = jax.device_get((sym16s, ovfs, idxs))
+            for i, o in enumerate(ovf_h):
+                if bool(o):  # bypass symbol beyond int16: exact refetch
+                    sym_h[i] = jax.device_get(sym32s[i])
+            B = idx_h[0].shape[0]
+            sym_list = [
+                np.asarray(s).astype(np.int32).reshape(B, -1) for s in sym_h
+            ]
+            idx_list = [np.asarray(ii).reshape(B, -1) for ii in idx_h]
+        else:
+            for i in range(ctx_slices):
                 idx_np = np.asarray(jax.device_get(index))
                 sym = decoder.decode_stream(
                     idx_np, gaussian.quantized_cdf, gaussian.cdf_length,
                     gaussian.offset, lut=lut,
                 )
-                _, y_hat = self.slice_code(v, i, jnp.asarray(sym), mu, ms, False)
-            slices.append(y_hat)
+                if sym.size and np.abs(sym).max() < 32768:
+                    sym = sym.astype(np.int16)
+                out = self.step(
+                    v, i, support_fn, state, slices, jnp.asarray(sym), mu,
+                    ms, ctx_slices,
+                )
+                slices.append(out[0])
+                if len(out) > 1:
+                    mu, index, ms = out[1], out[2], out[3]
         return slices, sym_list, idx_list
 
 
