@@ -79,6 +79,13 @@ def eval_image(args):
     from icm_tpu.eval import ms_ssim, psnr
     from icm_tpu.train.losses import compute_bpp
 
+    if args.model == "czigzag":
+        raise SystemExit(
+            "czigzag conditions on a paired up_x4 image (see "
+            "ImageFolderCzigzag + CzigzagCodec); the image eval mode "
+            "has no pair source — drive it via icm_tpu.models.crc_codec."
+            "CzigzagCodec directly."
+        )
     ds = ImageFolder(args.dataset, args.split)
     first = pad_to_multiple(ds[0], 64)[0][None]
     model, variables = load_model_and_params(args, (jnp.asarray(first),))
