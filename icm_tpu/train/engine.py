@@ -128,9 +128,12 @@ def run_training(
         if isinstance(init_batch, tuple)
         else init_batch.shape[0]
     )
-    if data_parallel and jax.device_count() > 1 and (
-        batch_dim % jax.device_count() == 0
-    ):
+    use_dp = bool(
+        data_parallel
+        and jax.device_count() > 1
+        and batch_dim % jax.device_count() == 0
+    )
+    if use_dp:
         mesh = make_mesh()
         state = replicate(state, mesh)
         step = data_parallel_step(step_fn, mesh)
@@ -188,7 +191,7 @@ def run_training(
             state = state.replace(tx=tx)
             step = (
                 data_parallel_step(step_fn, mesh)
-                if data_parallel and jax.device_count() > 1
+                if use_dp
                 else jax.jit(step_fn, donate_argnums=(0,))
             )
 
