@@ -95,11 +95,28 @@ def _put_symbols(sym: np.ndarray) -> jax.Array:
 
 class CharmCodec:
     """compress()/decompress() driver over the ChARM protocol
-    (see ``base.CompressionModel``)."""
+    (see ``base.CompressionModel``).
 
-    def __init__(self, model, variables, tables: CodecTables | None = None):
+    ``ref_layout=True`` switches the bitstream symbol order to the
+    reference's (NCHW C-major flatten per slice / per z tensor,
+    reference ``entropy_models.py:229-233`` + ``cnn.py:250-251``):
+    streams become byte-identical to — and interchangeable with — the
+    reference coder for batch size 1 (the reference mixes the batch into
+    one y stream for B>1; we keep one stream per image either way).
+    Default False uses the framework-native NHWC order (same lengths,
+    no host transposes).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        tables: CodecTables | None = None,
+        ref_layout: bool = False,
+    ):
         self.model = model
         self.variables = variables
+        self.ref_layout = ref_layout
         self.tables = tables or build_codec_tables(model, variables)
         self._scale_table_dev = jnp.asarray(self.tables.scale_table)
 
@@ -201,16 +218,40 @@ class CharmCodec:
         self._step = step
         self._assemble_synthesize = assemble_synthesize
 
+    # --- layout helpers ------------------------------------------------------
+    def _flat(self, a: np.ndarray) -> np.ndarray:
+        """(B, h, w, c) host array -> (B, N) in the active symbol order."""
+        a = np.asarray(a)
+        if self.ref_layout:
+            a = np.transpose(a, (0, 3, 1, 2))
+        return np.ascontiguousarray(a.reshape(a.shape[0], -1))
+
+    def _unflat(self, a: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+        """(B, N) symbols -> (B, h, w, c) honoring the active order."""
+        B = a.shape[0]
+        if self.ref_layout:
+            return np.transpose(a.reshape(B, c, h, w), (0, 2, 3, 1))
+        return a.reshape(B, h, w, c)
+
     # --- z (factorized bottleneck) -----------------------------------------
     def _z_tables(self) -> EntropyTables:
         return self.tables.bottlenecks["entropy_bottleneck"]
 
+    def _z_indexes(self, h: int, w: int, C: int, B: int) -> np.ndarray:
+        if self.ref_layout:
+            # reference EntropyBottleneck._build_indexes: channel-major
+            # (entropy_models.py:491-502 under NCHW flatten)
+            idx = np.repeat(np.arange(C, dtype=np.int32), h * w)
+        else:
+            idx = _eb_indexes((h, w), C)
+        return np.broadcast_to(idx, (B, h * w * C))
+
     def _encode_z_host(self, sym: np.ndarray) -> List[bytes]:
         B, h, w, C = sym.shape
         t = self._z_tables()
-        idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
+        idx = self._z_indexes(h, w, C, B)
         return coding.encode_batch(
-            sym.reshape(B, -1).astype(np.int32), idx,
+            self._flat(sym).astype(np.int32), idx,
             t.quantized_cdf, t.cdf_length, t.offset,
         )
 
@@ -219,12 +260,12 @@ class CharmCodec:
         t = self._z_tables()
         C = t.num_distributions
         B = len(strings)
-        idx = np.broadcast_to(_eb_indexes((h, w), C), (B, h * w * C))
+        idx = self._z_indexes(h, w, C, B)
         sym = coding.BatchRansDecoder(strings).decode_stream(
             idx, t.quantized_cdf, t.cdf_length, t.offset,
             lut=t.symbol_lut(),
         )
-        sym = _put_symbols(sym.reshape(B, h, w, C))
+        sym = _put_symbols(self._unflat(sym, h, w, C))
         return self._z_dequant(self.variables, sym)
 
     # --- public API --------------------------------------------------------
@@ -277,12 +318,9 @@ class CharmCodec:
 
         z_strings = self._encode_z_host(np.asarray(z_sym_h))
         symbols = np.concatenate(
-            [np.asarray(s).astype(np.int32).reshape(B, -1) for s in sym_h],
-            axis=1,
+            [self._flat(s).astype(np.int32) for s in sym_h], axis=1
         )
-        indexes = np.concatenate(
-            [np.asarray(ii).reshape(B, -1) for ii in idx_h], axis=1
-        )
+        indexes = np.concatenate([self._flat(ii) for ii in idx_h], axis=1)
         y_strings = coding.encode_batch(
             symbols, indexes, gt.quantized_cdf, gt.cdf_length, gt.offset
         )
@@ -307,9 +345,12 @@ class CharmCodec:
         mu, _, index, mean_support = self._slice_context(v, 0, state, [])
         for i in range(self.model.ctx_slices):
             idx_np = np.asarray(jax.device_get(index))
+            _, sh, sw, sc = idx_np.shape
             sym = decoder.decode_stream(
-                idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset, lut=lut
+                self._flat(idx_np), gt.quantized_cdf, gt.cdf_length,
+                gt.offset, lut=lut,
             )
+            sym = self._unflat(sym, sh, sw, sc)
             out = self._step(
                 v, i, state, y_hat_slices, _put_symbols(sym), mu, mean_support
             )

@@ -162,6 +162,62 @@ def convert_wacnn_checkpoint(
     return params
 
 
+def import_reference_tables(
+    state_dict: Dict[str, np.ndarray],
+) -> "CodecTables | None":
+    """Build coder tables directly from the CDF buffers a reference
+    checkpoint stores (``_quantized_cdf``/``_offset``/``_cdf_length``
+    registered buffers, reference ``entropy_models.py:97-100``, filled by
+    ``model.update()``).
+
+    Using the stored buffers instead of rebuilding makes our bitstreams
+    BYTE-identical to the reference coder's (rebuilt EB tables can differ
+    by ±1 CDF step from torch-vs-JAX float rounding of the learned
+    density). Returns None when the checkpoint has no/empty buffers
+    (training checkpoints before ``update()``).
+    """
+    from .entropy import EntropyTables, get_scale_table
+    from .models.base import CodecTables
+
+    sd = load_pretrained(state_dict)
+
+    def tables_for(prefix):
+        q = sd.get(f"{prefix}._quantized_cdf")
+        if q is None or np.asarray(q).size == 0:
+            return None
+        return EntropyTables(
+            quantized_cdf=np.asarray(q, np.int32),
+            cdf_length=np.asarray(sd[f"{prefix}._cdf_length"], np.int32),
+            offset=np.asarray(sd[f"{prefix}._offset"], np.int32),
+        )
+
+    bottlenecks = {}
+    gaussian = None
+    scale_table = None
+    for key in sd:
+        if not key.endswith("._quantized_cdf"):
+            continue
+        prefix = key[: -len("._quantized_cdf")]
+        t = tables_for(prefix)
+        if t is None:
+            continue
+        if "gaussian" in prefix.rsplit(".", 1)[-1]:
+            gaussian = t
+            st = sd.get(f"{prefix}.scale_table")
+            scale_table = (
+                np.asarray(st, np.float32)
+                if st is not None and np.asarray(st).size
+                else get_scale_table()
+            )
+        else:
+            bottlenecks[prefix] = t
+    if gaussian is None and not bottlenecks:
+        return None
+    return CodecTables(
+        gaussian=gaussian, scale_table=scale_table, bottlenecks=bottlenecks
+    )
+
+
 def load_reference_checkpoint(arch: str, path: str):
     """Load a reference torch checkpoint and convert. Currently implemented
     for 'cnn' (WACNN); other architectures raise NotImplementedError."""

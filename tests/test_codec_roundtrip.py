@@ -10,6 +10,8 @@ import pytest
 from icm_tpu.models import CharmCodec, WACNN
 from icm_tpu.train import RateDistortionLoss, compute_bpp
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     N=16,
     M=24,

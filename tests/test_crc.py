@@ -4,6 +4,8 @@ import pytest
 
 from icm_tpu.models import create_model
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     N=16,
     M=24,

@@ -5,6 +5,8 @@ import pytest
 
 from icm_tpu.models import create_model
 
+pytestmark = pytest.mark.slow
+
 TINY_CODEC = dict(
     N=16,
     M=24,

@@ -5,6 +5,8 @@ import pytest
 
 from icm_tpu.models import create_model
 
+pytestmark = pytest.mark.slow
+
 TINY_SWIN = dict(
     embed_dim=8,
     depths=(1, 1, 1, 1),

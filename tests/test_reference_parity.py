@@ -1,0 +1,174 @@
+"""Full-model numerical parity against the ACTUAL reference code.
+
+Runs the reference torch models (/root/reference, imported through
+``icm_tpu.utils.reference_bridge`` with its prebuilt native modules
+backed by this repo's coder) and this framework's flax models on SHARED
+converted weights:
+
+  - forward parity: y/z likelihoods, bpp and x_hat must match
+    (reference ``cnn.py:141-189``, ``stf.py:582-670``),
+  - bitstream interchange: with reference-stored CDF tables and
+    ``ref_layout=True``, compress() streams are BYTE-identical and each
+    side decodes the other's streams (reference ``cnn.py:210-332``).
+
+This is the one test layer that certifies the whole stack (GDN, W-MSA,
+ChARM loop, EB/GC likelihoods, coder) numerically end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+from icm_tpu.utils.reference_bridge import reference_available
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not reference_available(), reason="reference tree not present"
+    ),
+]
+
+
+def _seeded_reference_wacnn(scale_bias: float = 0.7):
+    """Reference WACNN with random init and a positive scale-head bias so
+    predicted scales aren't degenerate (untrained scales ~0 saturate all
+    likelihoods at 1.0, which would make the comparison vacuous)."""
+    import torch
+
+    from icm_tpu.utils.reference_bridge import ref_wacnn
+
+    torch.manual_seed(0)
+    ref = ref_wacnn()
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    for i in range(10):
+        key = f"cc_scale_transforms.{i}.8.bias"
+        sd[key] = sd[key] + scale_bias
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+    return ref
+
+
+def _image(B=1, H=64, W=64):
+    return np.random.RandomState(1).rand(B, H, W, 3).astype(np.float32)
+
+
+def _bpp(out, num_pixels):
+    import numpy as np
+
+    total = 0.0
+    for v in out["likelihoods"].values():
+        total += -np.log2(np.asarray(v)).sum()
+    return float(total / num_pixels)
+
+
+def test_wacnn_forward_parity():
+    import jax.numpy as jnp
+    import torch
+
+    from icm_tpu.models import WACNN
+    from icm_tpu.zoo import convert_wacnn_checkpoint
+
+    ref = _seeded_reference_wacnn()
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    params = convert_wacnn_checkpoint(sd)
+
+    x = _image()
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    out = WACNN().apply({"params": params}, jnp.asarray(x), training=False)
+
+    xh_ref = np.transpose(ref_out["x_hat"].numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out["x_hat"]), xh_ref, atol=5e-6)
+    ly_ref = np.transpose(ref_out["likelihoods"]["y"].numpy(), (0, 2, 3, 1))
+    lz_ref = np.transpose(ref_out["likelihoods"]["z"].numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(
+        np.asarray(out["likelihoods"]["y"]), ly_ref, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["likelihoods"]["z"]), lz_ref, atol=1e-5
+    )
+    ref_bpp = float(
+        (-np.log2(ly_ref).sum() - np.log2(lz_ref).sum()) / (64 * 64)
+    )
+    assert abs(_bpp(out, 64 * 64) - ref_bpp) < 1e-3
+
+
+def test_stf_forward_parity():
+    import jax.numpy as jnp
+    import torch
+
+    from icm_tpu.models import SymmetricalTransFormer
+    from icm_tpu.utils.reference_bridge import ref_stf
+    from icm_tpu.zoo import convert_stf_checkpoint
+
+    torch.manual_seed(0)
+    ref = ref_stf()
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    for i in range(12):
+        key = f"cc_scale_transforms.{i}.8.bias"
+        sd[key] = sd[key] + 1.0
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+    params = convert_stf_checkpoint(sd)
+
+    x = _image()
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    out = SymmetricalTransFormer().apply(
+        {"params": params}, jnp.asarray(x), training=False
+    )
+
+    xh_ref = np.transpose(ref_out["x_hat"].numpy(), (0, 2, 3, 1))
+    # deep Swin stacks accumulate float differences; 1e-3 abs on x_hat
+    np.testing.assert_allclose(np.asarray(out["x_hat"]), xh_ref, atol=1e-3)
+    ref_bpp = float(
+        (
+            -np.log2(ref_out["likelihoods"]["y"].numpy()).sum()
+            - np.log2(ref_out["likelihoods"]["z"].numpy()).sum()
+        )
+        / (64 * 64)
+    )
+    assert abs(_bpp(out, 64 * 64) - ref_bpp) < 1e-3
+
+
+def test_wacnn_bitstream_interchange():
+    import jax.numpy as jnp
+    import torch
+
+    from icm_tpu.models import WACNN
+    from icm_tpu.models.codec import CharmCodec
+    from icm_tpu.zoo import convert_wacnn_checkpoint, import_reference_tables
+
+    ref = _seeded_reference_wacnn()
+    ref.update(force=True)
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    params = convert_wacnn_checkpoint(sd)
+    tables = import_reference_tables(sd)
+    assert tables is not None and tables.gaussian is not None
+
+    x = _image()
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        enc_ref = ref.compress(xt)
+        dec_ref = ref.decompress(enc_ref["strings"], enc_ref["shape"])
+
+    codec = CharmCodec(
+        WACNN(), {"params": params}, tables=tables, ref_layout=True
+    )
+    enc = codec.compress(jnp.asarray(x))
+    dec = codec.decompress(enc["strings"], enc["shape"])
+
+    # byte-identical streams (y and z)
+    for ref_s, our_s in zip(enc_ref["strings"], enc["strings"]):
+        assert ref_s[0] == our_s[0]
+
+    # cross-decode: we decode the reference's stream, it decodes ours
+    ours_on_ref = codec.decompress(enc_ref["strings"], tuple(enc_ref["shape"]))
+    xh_ref = np.transpose(dec_ref["x_hat"].numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(
+        np.asarray(ours_on_ref["x_hat"]), xh_ref, atol=5e-6
+    )
+    with torch.no_grad():
+        ref_on_ours = ref.decompress(enc["strings"], torch.Size(enc["shape"]))
+    np.testing.assert_allclose(
+        np.transpose(ref_on_ours["x_hat"].numpy(), (0, 2, 3, 1)),
+        np.asarray(dec["x_hat"]),
+        atol=5e-6,
+    )

@@ -6,6 +6,9 @@ import numpy as np
 
 from icm_tpu.models import WACNN
 from icm_tpu.models.cnn import stack_charm_params
+import pytest
+
+pytestmark = pytest.mark.slow
 
 TINY = dict(
     N=16,

@@ -15,6 +15,8 @@ from icm_tpu.tasks import (
 )
 from icm_tpu.tasks.retinanet import decode_detections
 
+pytestmark = pytest.mark.slow
+
 
 def test_resnet_feature_pyramid_shapes():
     m = resnet18()
