@@ -3,12 +3,16 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 North-star metric (BASELINE.md): images/sec/chip for full encode+decode at
-512x512. The reference publishes no numbers (BASELINE.md); vs_baseline is
-null until a measured reference number exists. "extra" carries secondary
-measurements (jitted eval-forward throughput, bpp).
+512x512. The reference publishes no numbers (BASELINE.md), so the baseline
+is MEASURED here: tools/reference_baseline.py drives the actual reference
+model code (torch-CPU, its coder backed by this repo's rANS) on this host
+and writes baseline_reference.json; vs_baseline = our img/s divided by the
+reference's on that host (methodology note in "extra"). "extra" carries
+secondary measurements (jitted eval-forward throughput, bpp).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -69,21 +73,40 @@ def main():
     bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
     bpp = bits / (batch * size * size)
 
+    extra = {
+        "batch": batch,
+        "bpp_untrained": round(bpp, 3),
+        "fwd_images_per_sec": round(fwd_ips, 1),
+        "enc_images_per_sec": round(batch * iters / t_enc, 2),
+        "dec_images_per_sec": round(batch * iters / t_dec, 2),
+        "backend": jax.default_backend(),
+    }
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_reference.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref_ips = base.get("ref_encdec_img_per_s")
+        if ref_ips:
+            vs_baseline = round(ips / ref_ips, 2)
+            extra["baseline_ref_encdec_img_per_s"] = round(ref_ips, 4)
+            extra["baseline_note"] = (
+                "reference measured on this host's CPU (torch, actual "
+                "reference model code, same 512px input; its prebuilt "
+                "GPU-era coder cannot run here) via "
+                "tools/reference_baseline.py; same-hardware CPU-vs-CPU "
+                f"enc+dec ratio is {base.get('cpu_speedup_encdec', 0):.2f}x"
+            )
+
     print(
         json.dumps(
             {
                 "metric": f"images_per_sec_encode_decode_{size}px",
                 "value": round(ips, 3),
                 "unit": "img/s",
-                "vs_baseline": None,
-                "extra": {
-                    "batch": batch,
-                    "bpp_untrained": round(bpp, 3),
-                    "fwd_images_per_sec": round(fwd_ips, 1),
-                    "enc_images_per_sec": round(batch * iters / t_enc, 2),
-                    "dec_images_per_sec": round(batch * iters / t_dec, 2),
-                    "backend": jax.default_backend(),
-                },
+                "vs_baseline": vs_baseline,
+                "extra": extra,
             }
         )
     )

@@ -73,6 +73,49 @@ def _install_timm_stub():
     sys.modules["timm.models.layers"] = layers
 
 
+def _install_torchvision_stub():
+    """The reference uses torchvision only for ``ops.nms``
+    (retinanet/model.py:5) and ``transforms``/``utils`` names in its
+    dataloader (retinanet/dataloader.py:10). Provide a functional nms and
+    bare modules so every model file imports."""
+    if "torchvision" in sys.modules:
+        return
+    import torch
+
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+
+    def nms(boxes, scores, iou_threshold):
+        order = scores.argsort(descending=True)
+        keep = []
+        while order.numel():
+            i = order[0]
+            keep.append(i.item())
+            if order.numel() == 1:
+                break
+            rest = order[1:]
+            xy1 = torch.maximum(boxes[i, :2], boxes[rest, :2])
+            xy2 = torch.minimum(boxes[i, 2:], boxes[rest, 2:])
+            wh = (xy2 - xy1).clamp(min=0)
+            inter = wh[:, 0] * wh[:, 1]
+            area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            area_r = (boxes[rest, 2] - boxes[rest, 0]) * (
+                boxes[rest, 3] - boxes[rest, 1]
+            )
+            iou = inter / (area_i + area_r - inter)
+            order = rest[iou <= iou_threshold]
+        return torch.tensor(keep, dtype=torch.int64)
+
+    ops.nms = nms
+    tv.ops = ops
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    tv.utils = types.ModuleType("torchvision.utils")
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.transforms"] = tv.transforms
+    sys.modules["torchvision.utils"] = tv.utils
+
+
 def _install_native_stubs():
     """Back compressai.ans / compressai._CXX with icm_tpu.coding."""
     from icm_tpu import coding
@@ -116,6 +159,7 @@ def load_reference(root: str = REFERENCE_ROOT):
         raise FileNotFoundError(f"reference tree not found at {root}")
 
     _install_timm_stub()
+    _install_torchvision_stub()
 
     pkg = types.ModuleType("compressai")
     pkg.__path__ = [os.path.join(root, "compressai")]
