@@ -30,6 +30,7 @@ from .icm import (
     WACNN2,
 )
 from .masked_ctx import ClipEncoder, ClipEncoder3, ClipEncoder4
+from .masked_codec import Stf3Codec, Stf4Codec
 from .czigzag import conditionalZigzag
 from .zigzag_coder import ZigzagCharmCoder
 

@@ -142,10 +142,12 @@ class _MachineLayer(nn.Module):
     hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
     cc_widths: Tuple[int, ...] = (224, 64)
+    scan_charm: bool = False  # lax.scan AR loop (see ZigzagCharmCoder.scan)
 
     def setup(self):
         self.g_a = MainCNNEncoder(self.N, self.M)
         self.coder = ZigzagCharmCoder(
+            scan=self.scan_charm,
             latent_dim=self.M,
             num_slices=self.num_slices,
             max_support=self.max_support,
@@ -204,13 +206,17 @@ class ConditionalResidualCoding(CompressionModel):
     support_num: int = 24
     hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
-    cc_widths: Tuple[int, ...] = (224, 64)
+    # reference stf9/12/14 use their own 5-conv context stacks
+    # (stf9.py inline: 224->176->128->64->out; stf13 uses the
+    # 3-conv baseLayer.hyperContextMean variant instead)
+    cc_widths: Tuple[int, ...] = (224, 176, 128, 64)
     mid: int = 256
+    scan_charm: bool = False
 
     def setup(self):
         self.machine = _MachineLayer(
             self.N, self.M, self.num_slices, self.max_support,
-            self.support_num, apply_lrp=False,
+            self.support_num, scan_charm=self.scan_charm, apply_lrp=False,
             hyper_enc_widths=self.hyper_enc_widths,
             hyper_dec_widths=self.hyper_dec_widths,
             cc_widths=self.cc_widths,
@@ -279,13 +285,17 @@ class ResidualCoding(CompressionModel):
     support_num: int = 24
     hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
-    cc_widths: Tuple[int, ...] = (224, 64)
+    # reference stf9/12/14 use their own 5-conv context stacks
+    # (stf9.py inline: 224->176->128->64->out; stf13 uses the
+    # 3-conv baseLayer.hyperContextMean variant instead)
+    cc_widths: Tuple[int, ...] = (224, 176, 128, 64)
     mid: int = 256
+    scan_charm: bool = False
 
     def setup(self):
         self.machine = _MachineLayer(
             self.N, self.M, self.num_slices, self.max_support,
-            self.support_num, apply_lrp=False,
+            self.support_num, scan_charm=self.scan_charm, apply_lrp=False,
             hyper_enc_widths=self.hyper_enc_widths,
             hyper_dec_widths=self.hyper_dec_widths,
             cc_widths=self.cc_widths,
@@ -444,13 +454,17 @@ class ConditionalResidualCoding2(CompressionModel):
     support_num: int = 24
     hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
-    cc_widths: Tuple[int, ...] = (224, 64)
+    # reference stf9/12/14 use their own 5-conv context stacks
+    # (stf9.py inline: 224->176->128->64->out; stf13 uses the
+    # 3-conv baseLayer.hyperContextMean variant instead)
+    cc_widths: Tuple[int, ...] = (224, 176, 128, 64)
     mid: int = 256
+    scan_charm: bool = False
 
     def setup(self):
         self.machine = _MachineLayer(
             self.N, self.M, self.num_slices, self.max_support,
-            self.support_num, apply_lrp=False,
+            self.support_num, scan_charm=self.scan_charm, apply_lrp=False,
             hyper_enc_widths=self.hyper_enc_widths,
             hyper_dec_widths=self.hyper_dec_widths,
             cc_widths=self.cc_widths,
@@ -462,7 +476,9 @@ class ConditionalResidualCoding2(CompressionModel):
         self.human_hyper = _SimpleHyper(
             enc_widths=self.hyper_enc_widths, dec_widths=self.hyper_dec_widths
         )
-        self.human_context_decoder = _ConvStack(self.M, 5)
+        # reference stf12 human_context_decoder is a 3-conv stack
+        # (stf12.py — 6 tensors), unlike stf9's 5-conv version
+        self.human_context_decoder = _ConvStack(self.M, 3)
         self.human_g_a1 = _StrideConvPair(self.N, kernel=3)
         self.human_g_a2 = _EncTail(self.N, self.M, with_attn=True)
         self.human_g_s1 = _DecHead(self.N, self.M)
@@ -583,11 +599,13 @@ class ConditionalResidualCoding3(CompressionModel):
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
     cc_widths: Tuple[int, ...] = (224, 64)
     mid: int = 256
+    scan_charm: bool = False
 
     def setup(self):
         N, M = self.N, self.M
         self.machine = _MachineLayer(
             N, M, self.num_slices, self.max_support, self.support_num,
+            scan_charm=self.scan_charm,
             apply_lrp=True,
             hyper_enc_widths=self.hyper_enc_widths,
             hyper_dec_widths=self.hyper_dec_widths,
@@ -598,6 +616,7 @@ class ConditionalResidualCoding3(CompressionModel):
         self.seg_g_enc2 = ContextScale1(N, M, self.mid)
         self.seg_g_enc3 = ContextScale2(N, M)
         self.seg_coder = ZigzagCharmCoder(
+            scan=self.scan_charm,
             latent_dim=M, num_slices=self.num_slices,
             max_support=self.max_support, support_num=self.support_num,
             hyper_enc_widths=self.hyper_enc_widths,

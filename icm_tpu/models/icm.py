@@ -76,12 +76,14 @@ class FasterRCNN_Coding(CompressionModel):
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
     cc_widths: Tuple[int, ...] = (224, 64)
     with_task_net: bool = True
+    scan_charm: bool = False
     task_layers: Tuple[int, ...] = (3, 4, 6, 3)
 
     def setup(self):
         self.g_a = MainCNNEncoder(self.N, self.M)
         self.g_s = MainCNNDecoder(self.N, self.M, self.mid)
         self.coder = ZigzagCharmCoder(
+            scan=self.scan_charm,
             latent_dim=self.M,
             num_slices=self.num_slices,
             max_support=self.max_support,
@@ -166,12 +168,14 @@ class MaskedRCNN_FasterRCNN_Coding(CompressionModel):
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
     cc_widths: Tuple[int, ...] = (224, 64)
     with_task_net: bool = True
+    scan_charm: bool = False
     task_layers: Tuple[int, ...] = (3, 4, 6, 3)
 
     def setup(self):
         self.g_a = MainCNNEncoder(self.N, self.M)
         self.g_s = MainCNNDecoder(self.N, self.M, self.mid)
         self.coder = ZigzagCharmCoder(
+            scan=self.scan_charm,
             latent_dim=self.M,
             num_slices=self.num_slices,
             max_support=self.max_support,
@@ -183,6 +187,7 @@ class MaskedRCNN_FasterRCNN_Coding(CompressionModel):
         self.seg_g_a = MainCNNEncoder(self.N, self.M)  # 6-channel input
         self.seg_g_s = MainCNNDecoder(self.N, self.M, self.mid)
         self.seg_coder = ZigzagCharmCoder(
+            scan=self.scan_charm,
             latent_dim=self.M,
             num_slices=self.num_slices,
             max_support=self.max_support,
@@ -354,14 +359,18 @@ class SymmetricalTransFormer7(CompressionModel):
     num_seg_classes: int = 21
     hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
-    cc_widths: Tuple[int, ...] = (224, 64)
+    # reference stf10 uses the 5-conv inline context stacks like stf9
+    # (stf10 cc_*_transforms2: 224->176->128->64->out)
+    cc_widths: Tuple[int, ...] = (224, 176, 128, 64)
     with_task_net: bool = True
+    scan_charm: bool = False
     task_backbone: str = "resnet50"
 
     def setup(self):
         N, M = self.N, self.M
         self.g_a = MainCNNEncoder(N, M)
         self.coder = ZigzagCharmCoder(
+            scan=self.scan_charm,
             latent_dim=M,
             num_slices=self.num_slices,
             max_support=self.max_support,

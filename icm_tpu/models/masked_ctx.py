@@ -60,16 +60,22 @@ class PlainAttention(nn.Module):
     num_heads: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        """``mask``: optional (N, N) bool, True = key visible to query.
+        Masked logits are set to -inf, so masked softmax weights are
+        EXACTLY 0.0 and outputs are bit-independent of masked key/value
+        contents — the invariant the causal coder relies on (decoder
+        re-runs this on a zero-padded future and gets identical rows)."""
         B, N, C = x.shape
         nh = self.num_heads
         hd = C // nh
         qkv = nn.Dense(C * 3, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jax.nn.softmax(
-            jnp.einsum("bhnd,bhmd->bhnm", q * hd ** -0.5, k), axis=-1
-        )
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q * hd ** -0.5, k)
+        if mask is not None:
+            logits = jnp.where(mask[None, None], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         return out.transpose(0, 2, 1, 3).reshape(B, N, C)
 
@@ -82,9 +88,11 @@ class MaskedContextModel(nn.Module):
     num_heads: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         for i in range(self.depth):
-            x = PlainAttention(self.dim, self.num_heads, name=f"attn{i}")(x)
+            x = PlainAttention(self.dim, self.num_heads, name=f"attn{i}")(
+                x, mask=mask
+            )
             h = nn.LayerNorm(epsilon=1e-5)(x)
             h = nn.Dense(2 * self.dim)(h)
             h = jax.nn.gelu(h)
@@ -183,7 +191,22 @@ class _MaskedBase(CompressionModel):
 
 
 class ClipEncoder3(_MaskedBase):
-    """stf3: one-shot teacher-forced masked transformer context."""
+    """stf3: one-shot teacher-forced masked transformer context.
+
+    ``causal=False`` (default) reproduces the reference exactly — the
+    context attention sees the FULL y_hat sequence (unmasked,
+    stf3.py:565-618 applied at 1004-1012), which no real decoder can
+    provide, so that mode has no sound bitstream. ``causal=True`` adds a
+    standard lower-triangular mask over the [hyper tokens | y_hat tokens]
+    sequence: with the teacher-forcing shift (output N-1+i predicts token
+    i), query N-1+i then sees all N hyper tokens and exactly the y_hat
+    tokens j < i — the decodable completion of the reference design,
+    driven by ``masked_codec.Stf3Codec``."""
+
+    # reference stf3 constructor defaults (stf3.py:630-631):
+    # Mask_win_size=4, num_slices=8 -> token dim 16*48 = 768
+    mask_win_size: int = 4
+    causal: bool = False
 
     def setup(self):
         self._setup_transforms()
@@ -191,6 +214,11 @@ class ClipEncoder3(_MaskedBase):
         self.ctx_mu = MaskedContextModel(D, name="maskedContextModel_mu")
         self.ctx_sigma = MaskedContextModel(D, name="maskedContextModel_sigma")
         self.lrp = _GlobalLRP(self.latent_dim)
+
+    def _ctx_mask(self, N: int):
+        if not self.causal:
+            return None
+        return jnp.tril(jnp.ones((2 * N, 2 * N), bool))
 
     def __call__(self, x, training: bool = True):
         ws = self.mask_win_size
@@ -207,8 +235,13 @@ class ClipEncoder3(_MaskedBase):
         s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
         N = y_tok.shape[1]
 
-        mu_seq = self.ctx_mu(jnp.concatenate([m_tok, y_tok], axis=1))
-        sc_seq = self.ctx_sigma(jnp.concatenate([s_tok, y_tok], axis=1))
+        mask = self._ctx_mask(N)
+        mu_seq = self.ctx_mu(
+            jnp.concatenate([m_tok, y_tok], axis=1), mask=mask
+        )
+        sc_seq = self.ctx_sigma(
+            jnp.concatenate([s_tok, y_tok], axis=1), mask=mask
+        )
         # teacher-forced shift: output N-1+i predicts slice i (stf3.py:1004)
         mu = self._merge(self._unflatten(mu_seq[:, N - 1 : -1], nH, nW), nH, nW)
         scale = self._merge(self._unflatten(sc_seq[:, N - 1 : -1], nH, nW), nH, nW)
@@ -226,6 +259,56 @@ class ClipEncoder3(_MaskedBase):
             "likelihoods": {"y": y_lik, "z": z_lik},
         }
 
+    # --- coder-facing stages (masked_codec.Stf3Codec) ------------------------
+    def analyze(self, x):
+        y = self.g_a(x, deterministic=True)
+        return y, self.h_a(y)
+
+    def eb_medians(self):
+        return self.entropy_bottleneck.medians()[:, 0, 0]
+
+    def coder_tokens(self, y, z_hat):
+        """-> (y integer tokens, mean tokens, scale tokens, means, scales,
+        lattice (nH, nW), latent HW). Token layouts exactly as __call__."""
+        ws = self.mask_win_size
+        means = self.h_mean_s(z_hat)
+        scales = self.h_scale_s(z_hat)
+        y_hat = jnp.round(y)
+        yp, nH, nW, _, _ = _pad_to_windows(y_hat, ws)
+        mp = _pad_to_windows(means, ws)[0]
+        sp = _pad_to_windows(scales, ws)[0]
+        y_tok = self._tokens_flat(self._window_tokens(yp, nH, nW))
+        m_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
+        s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        return y_tok, m_tok, s_tok, means, scales, (nH, nW), y.shape[1:3]
+
+    def causal_mu_scale(self, m_tok, s_tok, y_buf):
+        """Full causal context pass; rows already teacher-shift-aligned:
+        row i of the result predicts token i. Bit-independent of y_buf
+        rows >= the row being read (exact -inf masking), so the decoder
+        re-runs this on its zero-padded prefix buffer."""
+        N = y_buf.shape[1]
+        mask = jnp.tril(jnp.ones((2 * N, 2 * N), bool))
+        mu_seq = self.ctx_mu(
+            jnp.concatenate([m_tok, y_buf], axis=1), mask=mask
+        )[:, N - 1 : -1]
+        sc_seq = self.ctx_sigma(
+            jnp.concatenate([s_tok, y_buf], axis=1), mask=mask
+        )[:, N - 1 : -1]
+        return mu_seq, sc_seq
+
+    def coder_reconstruct(self, y_tok_hat, means, scales, lattice, out_hw):
+        """Integer token buffer -> y_hat with global LRP (as __call__)."""
+        nH, nW = lattice
+        y_hat = self._merge(self._unflatten(y_tok_hat, nH, nW), nH, nW)
+        H, W = out_hw
+        y_hat = y_hat[:, :H, :W]
+        lrp = self.lrp(jnp.concatenate([y_hat, means, scales], axis=-1))
+        return y_hat + 0.5 * jnp.tanh(lrp)
+
+    def synthesize(self, y_hat):
+        return self.g_s(y_hat, deterministic=True)
+
 
 def _causal_windows(tokens, window: int, include_current: bool):
     """(B, N, D) -> (B, N, window, D): for each i the previous ``window``
@@ -241,20 +324,37 @@ def _causal_windows(tokens, window: int, include_current: bool):
 
 
 class ClipEncoder4(_MaskedBase):
-    """stf4: masked transformer + causal sliding-window conv fusion."""
+    """stf4: masked transformer + causal sliding-window conv fusion.
+
+    The sliding windows already only look backwards, but the reference's
+    context attention itself runs UNMASKED over all y_hat tokens
+    (stf4.py:1052) — not decodable. ``causal=True`` masks it
+    lower-triangularly: ctx row i then uses y_hat <= i, and the shifted
+    window (``include_current=False``) feeds only ctx rows < i into
+    token i's heads — the decodable completion (masked_codec.Stf4Codec).
+    """
 
     num_slices: int = 8
     mask_win_size: int = 4
     sliding: int = 27  # 3^3 (stf4.py:1056)
+    causal: bool = False
 
     def setup(self):
         self._setup_transforms()
-        self.ctx_mu = MaskedContextModel(
-            self.token_dim, depth=1, num_heads=2, name="maskedContextModel_mu"
+        # the reference context is ONE bare 2-head attention, no norm/mlp
+        # (stf4.py:745 Mask3dAttention(dim=win^2*C/slices, num_heads=2),
+        # applied directly at stf4.py:1052; the sigma twin is dead)
+        self.ctx_mu = PlainAttention(
+            self.token_dim, 2, name="maskedContextModel_mu"
         )
+        Cp = self.slice_ch
+        w = self.sliding
+        # shared conv heads (reference stf4 cc_*_transforms widths
+        # 2*27*48 -> 27*48 -> 15*48 -> 8*48 -> 48)
+        self.cc_mean_head = _ConvHead((w * Cp, 15 * Cp, 8 * Cp, Cp))
+        self.cc_scale_head = _ConvHead((w * Cp, 15 * Cp, 8 * Cp, Cp))
         self.lrp = _GlobalLRP(self.latent_dim)
 
-    @nn.compact
     def __call__(self, x, training: bool = True):
         ws = self.mask_win_size
         Cp = self.slice_ch
@@ -271,25 +371,13 @@ class ClipEncoder4(_MaskedBase):
         s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
         B, N, D = y_tok.shape
 
-        ctx = self.ctx_mu(y_tok)  # (B, N, D)
-        ctx_w = _causal_windows(ctx, w, include_current=False)
-        m_w = _causal_windows(m_tok, w, include_current=True)
-        s_w = _causal_windows(s_tok, w, include_current=True)
-
-        def fuse(a, b, name):
-            # (B, N, w, D) x2 -> (B*N, ws, ws, 2*w*Cp) -> conv head
-            h = jnp.concatenate([a, b], axis=2).reshape(
-                B * N, 2 * w, ws, ws, Cp
-            )
-            h = h.transpose(0, 2, 3, 1, 4).reshape(B * N, ws, ws, 2 * w * Cp)
-            for mult in (w, 15, 8):
-                h = conv(mult * Cp, kernel_size=3, stride=1)(h)
-                h = jax.nn.gelu(h)
-            h = conv(Cp, kernel_size=3, stride=1)(h)
-            return h.reshape(B, N, ws, ws, Cp)
-
-        mu = self._merge(fuse(ctx_w, m_w, "mu"), nH, nW)
-        scale = self._merge(fuse(ctx_w, s_w, "scale"), nH, nW)
+        mask = (
+            jnp.tril(jnp.ones((N, N), bool)) if self.causal else None
+        )
+        ctx = self.ctx_mu(y_tok, mask=mask)  # (B, N, D)
+        mu_tok, scale_tok = self._fused_heads(ctx, m_tok, s_tok)
+        mu = self._merge(mu_tok, nH, nW)
+        scale = self._merge(scale_tok, nH, nW)
         H, W = y.shape[1:3]
         mu = mu[:, :H, :W]
         scale = scale[:, :H, :W]
@@ -299,6 +387,46 @@ class ClipEncoder4(_MaskedBase):
         y_hat = y_hat + 0.5 * jnp.tanh(lrp)
         x_hat = self.g_s(y_hat, deterministic=not training)
         return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}
+
+    def _fused_heads(self, ctx, m_tok, s_tok):
+        """Shifted ctx + mean/scale sliding windows -> per-token mu/scale
+        blocks (B, N, ws, ws, Cp) via the shared conv heads
+        (stf4.py:1052-1086)."""
+        ws = self.mask_win_size
+        Cp = self.slice_ch
+        w = self.sliding
+        B, N, D = ctx.shape
+        ctx_w = _causal_windows(ctx, w, include_current=False)
+        m_w = _causal_windows(m_tok, w, include_current=True)
+        s_w = _causal_windows(s_tok, w, include_current=True)
+
+        def fuse(a, b, head):
+            h = jnp.concatenate([a, b], axis=2).reshape(
+                B * N, 2 * w, ws, ws, Cp
+            )
+            h = h.transpose(0, 2, 3, 1, 4).reshape(B * N, ws, ws, 2 * w * Cp)
+            return head(h).reshape(B, N, ws, ws, Cp)
+
+        return (
+            fuse(ctx_w, m_w, self.cc_mean_head),
+            fuse(ctx_w, s_w, self.cc_scale_head),
+        )
+
+    # --- coder-facing stages (masked_codec.Stf4Codec) ------------------------
+    analyze = ClipEncoder3.analyze
+    eb_medians = ClipEncoder3.eb_medians
+    coder_tokens = ClipEncoder3.coder_tokens
+    synthesize = ClipEncoder3.synthesize
+    coder_reconstruct = ClipEncoder3.coder_reconstruct
+
+    def causal_mu_scale(self, m_tok, s_tok, y_buf):
+        """Full causal pass -> per-token mu/scale blocks flattened back to
+        token vectors (B, N, D); row i depends only on y_buf rows < i."""
+        B, N, D = y_buf.shape
+        mask = jnp.tril(jnp.ones((N, N), bool))
+        ctx = self.ctx_mu(y_buf, mask=mask)
+        mu_tok, scale_tok = self._fused_heads(ctx, m_tok, s_tok)
+        return mu_tok.reshape(B, N, D), scale_tok.reshape(B, N, D)
 
 
 class _ConvHead(nn.Module):

@@ -278,7 +278,9 @@ class SwinBlockCross(nn.Module):
         ws, ss = self.window_size, self.shift_size
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5)(x)
-        context = nn.LayerNorm(epsilon=1e-5)(context)
+        # the reference normalizes only x; context enters kv RAW
+        # (czigzag.py:232-240: norm1(x), context merely reshaped)
+        context = context.astype(x.dtype)
 
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws

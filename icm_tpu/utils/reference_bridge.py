@@ -202,3 +202,27 @@ def ref_stf(**kwargs):
     from compressai.models.stf import SymmetricalTransFormer
 
     return SymmetricalTransFormer(**kwargs).eval()
+
+
+def ref_stf10(**kwargs):
+    """Reference SymmetricalTransFormer7 (stf10.py:388), eval mode.
+
+    Its DeepLab student defaults to a pretrained-backbone download
+    (deeplab/backbone/resnet.py:216-222) — impossible in a zero-egress
+    environment — so the backbone loader is patched to skip the fetch
+    (weight VALUES don't matter for layout/conversion work)."""
+    load_reference()
+    import compressai.models.deeplab.backbone.resnet as dlres
+
+    orig = dlres._resnet
+
+    def _resnet_no_fetch(arch, block, layers, pretrained, progress, **kw):
+        return orig(arch, block, layers, False, progress, **kw)
+
+    dlres._resnet = _resnet_no_fetch
+    try:
+        from compressai.models.stf10 import SymmetricalTransFormer7
+
+        return SymmetricalTransFormer7(**kwargs).eval()
+    finally:
+        dlres._resnet = orig

@@ -97,6 +97,104 @@ def strip_backbone_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     }
 
 
+def convert_retinanet_state(sd: Dict[str, np.ndarray], prefix: str = ""):
+    """Reference RetinaNet (retinanet/model.py ResNet/studentResNet) ->
+    tasks.retinanet.RetinaNet variables {"params", "batch_stats"}.
+
+    Reference layout: torchvision-style backbone (conv1/bn1/layer1-4,
+    model.py:160-171) + PyramidFeatures P3_1..P7_2 (19-42) +
+    regressionModel/classificationModel (conv1-4 + output, 68-152).
+    """
+    if prefix:
+        sd = {
+            k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+        }
+    backbone = convert_torchvision_resnet(sd)
+    fpn = {
+        name: convert_conv(sd[f"fpn.{name}.weight"], sd[f"fpn.{name}.bias"])
+        for name in ("P5_1", "P5_2", "P4_1", "P4_2", "P3_1", "P3_2",
+                     "P6", "P7_2")
+    }
+
+    def head(ref):
+        p = {
+            f"conv{i}": convert_conv(
+                sd[f"{ref}.conv{i}.weight"], sd[f"{ref}.conv{i}.bias"]
+            )
+            for i in range(1, 5)
+        }
+        p["output"] = convert_conv(
+            sd[f"{ref}.output.weight"], sd[f"{ref}.output.bias"]
+        )
+        return p
+
+    params = {
+        "backbone": backbone["params"],
+        "fpn": fpn,
+        "regression": head("regressionModel"),
+        "classification": head("classificationModel"),
+    }
+    stats = {"backbone": backbone["batch_stats"]}
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_detectron2_fpn(sd: Dict[str, np.ndarray], prefix: str = ""):
+    """Detectron2 R-FPN backbone state (stem/res2-5/fpn_lateral/
+    fpn_output naming — the reference's frozen task net,
+    fasterRCNN_ICM.py:41-55) -> models.icm._FrozenFPN variables.
+
+    Detectron2 blocks: ``res{L+1}.{i}.conv{1-3}`` with fused ``.norm``
+    (FrozenBatchNorm) -> our ``layer{L}_{i}/Conv_{k}/BatchNorm_{k}``;
+    ``shortcut`` -> the block's last Conv/BatchNorm slot.
+    """
+    if prefix:
+        sd = {
+            k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+        }
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+
+    def put(dst_p, dst_s, idx, conv_key):
+        dst_p[f"Conv_{idx}"] = convert_conv(sd[f"{conv_key}.weight"])
+        dst_p[f"BatchNorm_{idx}"] = {
+            "scale": np.asarray(sd[f"{conv_key}.norm.weight"]),
+            "bias": np.asarray(sd[f"{conv_key}.norm.bias"]),
+        }
+        dst_s[f"BatchNorm_{idx}"] = {
+            "mean": np.asarray(sd[f"{conv_key}.norm.running_mean"]),
+            "var": np.asarray(sd[f"{conv_key}.norm.running_var"]),
+        }
+
+    # Detectron2's FPN wraps the ResNet as `bottom_up.`; raw ResNet
+    # checkpoints have stem/res at the top level — accept both
+    bu = "bottom_up." if any(k.startswith("bottom_up.") for k in sd) else ""
+    put(params, stats, 0, f"{bu}stem.conv1")
+    reps = {2: 3, 3: 4, 4: 6, 5: 3}  # R50
+    for res, n in reps.items():
+        L = res - 1
+        for i in range(n):
+            bp, bs = {}, {}
+            for k in range(3):
+                put(bp, bs, k, f"{bu}res{res}.{i}.conv{k + 1}")
+            if f"{bu}res{res}.{i}.shortcut.weight" in sd:
+                put(bp, bs, 3, f"{bu}res{res}.{i}.shortcut")
+            params[f"layer{L}_{i}"] = bp
+            stats[f"layer{L}_{i}"] = bs
+
+    fpn_p = {}
+    for lvl in range(2, 6):
+        fpn_p[f"lateral{lvl}"] = convert_conv(
+            sd[f"fpn_lateral{lvl}.weight"], sd.get(f"fpn_lateral{lvl}.bias")
+        )
+        fpn_p[f"output{lvl}"] = convert_conv(
+            sd[f"fpn_output{lvl}.weight"], sd.get(f"fpn_output{lvl}.bias")
+        )
+    return {
+        "params": {"ResNetBackbone_0": params, "FPN_0": fpn_p},
+        "batch_stats": {"ResNetBackbone_0": stats},
+    }
+
+
 def convert_torchvision_resnet(
     sd: Dict[str, np.ndarray],
     block: str = "bottleneck",
