@@ -53,19 +53,26 @@ def main():
     jax.block_until_ready(out["x_hat"])
     fwd_ips = batch * 5 / (time.time() - t0)
 
+    # symmetric stream-group pipelining: decode overlaps one group's
+    # device context step with the other's host rANS + link transfers
+    # (encoder uses the same grouping so the AR context shapes match
+    # bit-for-bit — see CharmCodec.decompress)
+    groups = 2 if batch >= 2 else 1
     codec = CharmCodec(model, variables)
-    enc = codec.compress(x)
-    dec = codec.decompress(enc["strings"], enc["shape"])
+    enc = codec.compress(x, pipeline_groups=groups)
+    dec = codec.decompress(enc["strings"], enc["shape"], pipeline_groups=groups)
     jax.block_until_ready(dec["x_hat"])
 
     iters = 3
     t_enc = t_dec = 0.0
     for _ in range(iters):
         t0 = time.time()
-        enc = codec.compress(x)
+        enc = codec.compress(x, pipeline_groups=groups)
         t_enc += time.time() - t0
         t0 = time.time()
-        dec = codec.decompress(enc["strings"], enc["shape"])
+        dec = codec.decompress(
+            enc["strings"], enc["shape"], pipeline_groups=groups
+        )
         jax.block_until_ready(dec["x_hat"])
         t_dec += time.time() - t0
     ips = batch * iters / (t_enc + t_dec)

@@ -269,13 +269,59 @@ class CharmCodec:
         return self._z_dequant(self.variables, sym)
 
     # --- public API --------------------------------------------------------
-    def compress(self, x, return_debug: bool = False) -> Dict[str, Any]:
+    @staticmethod
+    def _group_sizes(B: int, pipeline_groups: int) -> List[int]:
+        """Deterministic contiguous batch split shared by compress and
+        decompress: identical group shapes on both sides keep the AR
+        float context bit-identical (XLA results vary with batch shape,
+        so encoder and decoder must run context at the SAME shapes)."""
+        g = min(max(pipeline_groups, 1), B)
+        return [B // g + (1 if i < B % g else 0) for i in range(g)]
+
+    def compress(
+        self, x, return_debug: bool = False, pipeline_groups: int = 1
+    ) -> Dict[str, Any]:
         """x: (B, H, W, 3) in [0, 1]. Returns
         {"strings": [y_strings, z_strings], "shape": (zh, zw)} — the
-        reference output contract (``cnn.py:267``)."""
+        reference output contract (``cnn.py:267``).
+
+        ``pipeline_groups > 1`` encodes the batch in contiguous groups.
+        Use the SAME value in :meth:`decompress` — the decoder's
+        software pipeline needs matching group shapes to reproduce the
+        encoder's AR context bit-for-bit."""
+        B = x.shape[0]
+        sizes = self._group_sizes(B, pipeline_groups)
+        if len(sizes) <= 1:
+            return self._compress_group(x, return_debug)
+        bounds = np.cumsum([0] + sizes)
+        # dispatch ALL groups' device work first (async), then finish
+        # (device fetch + host rANS) in order: group A's host encode
+        # overlaps group B's device compute
+        pend = [
+            self._compress_dispatch(x[a:b])
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = [self._compress_finish(p, return_debug) for p in pend]
+        merged: Dict[str, Any] = {
+            "strings": [
+                [s for o in outs for s in o["strings"][0]],
+                [s for o in outs for s in o["strings"][1]],
+            ],
+            "shape": outs[0]["shape"],
+        }
+        if return_debug:
+            for k in ("y_hat", "z_hat"):
+                merged[k] = jnp.concatenate([o[k] for o in outs], axis=0)
+        return merged
+
+    def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
+        return self._compress_finish(self._compress_dispatch(x), return_debug)
+
+    def _compress_dispatch(self, x) -> Dict[str, Any]:
+        """Async half of compress: queue every device computation and
+        return the pending device arrays without a single blocking fetch."""
         v = self.variables
         y, z = self._analyze(v, x)
-        B = x.shape[0]
         zh, zw = z.shape[1], z.shape[2]
 
         # the whole encode loop is async dispatch: the host needs symbols
@@ -307,8 +353,30 @@ class CharmCodec:
             if len(out) > 1:
                 mu, index, mean_support = out[1], out[2], out[3]
 
+        for a in (z16, z_ovf, *sym16s, *ovfs, *idxs):
+            try:  # start the device->host copies behind the device queue
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return dict(
+            z16=z16, z_ovf=z_ovf, z_sym=z_sym, sym16s=sym16s, ovfs=ovfs,
+            sym32s=sym32s, idxs=idxs, y_hat_slices=y_hat_slices,
+            z_hat=z_hat, shape=(zh, zw),
+        )
+
+    def _compress_finish(
+        self, pend: Dict[str, Any], return_debug: bool = False
+    ) -> Dict[str, Any]:
+        """Blocking half of compress: ONE batched device fetch, then the
+        host rANS passes."""
+        v = self.variables
+        gt = self.tables.gaussian
+        z16, z_ovf, z_sym = pend["z16"], pend["z_ovf"], pend["z_sym"]
+        sym32s = pend["sym32s"]
+        zh, zw = pend["shape"]
+
         z_sym_h, z_ovf_h, sym_h, ovf_h, idx_h = jax.device_get(
-            (z16, z_ovf, sym16s, ovfs, idxs)
+            (z16, z_ovf, pend["sym16s"], pend["ovfs"], pend["idxs"])
         )
         if bool(z_ovf_h):  # rare: bypass symbol beyond int16 — exact refetch
             z_sym_h = jax.device_get(z_sym)
@@ -326,14 +394,41 @@ class CharmCodec:
         )
         out = {"strings": [y_strings, z_strings], "shape": (zh, zw)}
         if return_debug:
-            y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
+            y_hat, x_hat = self._assemble_synthesize(v, pend["y_hat_slices"])
             out["y_hat"] = y_hat
-            out["z_hat"] = z_hat
+            out["z_hat"] = pend["z_hat"]
         return out
 
-    def decompress(self, strings, shape) -> Dict[str, Any]:
-        v = self.variables
+    def decompress(
+        self, strings, shape, pipeline_groups: int = 1
+    ) -> Dict[str, Any]:
+        """``pipeline_groups``: split the batch into that many stream
+        groups and software-pipeline the AR decode — group B's device
+        context step and host->device symbol upload run while group A's
+        index fetch (a full link round-trip on remote-TPU hosts) and host
+        rANS are in flight. MUST match the value given to
+        :meth:`compress`: the AR context is only bit-identical between
+        encoder and decoder when both run it at the same batch shapes
+        (XLA float results vary with batch size). Default 1 = serial."""
         y_strings, z_strings = strings
+        B = len(y_strings)
+        sizes = self._group_sizes(B, pipeline_groups)
+        if len(sizes) <= 1:
+            return self._decompress_group(y_strings, z_strings, shape)
+
+        bounds = np.cumsum([0] + sizes)
+        groups = [
+            (y_strings[a:b], z_strings[a:b])
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = self._decompress_pipelined(groups, shape)
+        return {
+            "x_hat": jnp.concatenate([o["x_hat"] for o in outs], axis=0),
+            "y_hat": jnp.concatenate([o["y_hat"] for o in outs], axis=0),
+        }
+
+    def _decompress_group(self, y_strings, z_strings, shape) -> Dict[str, Any]:
+        v = self.variables
         z_hat = self._decode_z(z_strings, shape)
         state = self._ctx_prepare(v, z_hat)
 
@@ -360,3 +455,64 @@ class CharmCodec:
 
         y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
         return {"x_hat": x_hat, "y_hat": y_hat}
+
+    def _decompress_pipelined(self, groups, shape) -> List[Dict[str, Any]]:
+        """Round-robin the per-slice decode across stream groups. While
+        group g's index fetch + rANS happen on the host, the other
+        groups' context steps run on the device (their index copies were
+        started asynchronously)."""
+        v = self.variables
+        gt = self.tables.gaussian
+        lut = gt.symbol_lut()
+        S = self.model.ctx_slices
+
+        st: List[dict] = []
+        for y_s, z_s in groups:
+            z_hat = self._decode_z(z_s, shape)
+            state = self._ctx_prepare(v, z_hat)
+            mu, _, index, mean_support = self._slice_context(v, 0, state, [])
+            try:
+                index.copy_to_host_async()
+            except AttributeError:
+                pass
+            st.append(
+                dict(
+                    state=state,
+                    decoder=coding.BatchRansDecoder(y_s),
+                    slices=[],
+                    mu=mu,
+                    index=index,
+                    mean_support=mean_support,
+                )
+            )
+
+        for i in range(S):
+            for g in st:
+                idx_np = np.asarray(jax.device_get(g["index"]))
+                _, sh, sw, sc = idx_np.shape
+                sym = g["decoder"].decode_stream(
+                    self._flat(idx_np), gt.quantized_cdf, gt.cdf_length,
+                    gt.offset, lut=lut,
+                )
+                sym = self._unflat(sym, sh, sw, sc)
+                out = self._step(
+                    v, i, g["state"], g["slices"], _put_symbols(sym),
+                    g["mu"], g["mean_support"],
+                )
+                g["slices"].append(out[0])
+                if len(out) > 1:
+                    g["mu"], g["index"], g["mean_support"] = out[1:4]
+                    try:
+                        g["index"].copy_to_host_async()
+                    except AttributeError:
+                        pass
+
+        return [
+            dict(
+                zip(
+                    ("y_hat", "x_hat"),
+                    self._assemble_synthesize(v, g["slices"]),
+                )
+            )
+            for g in st
+        ]

@@ -242,3 +242,37 @@ def test_train_seg_oj_cli_smoke(image_root, tmp_path):
         ]
     )
     assert os.path.exists(str(tmp_path / "segoj"))
+
+
+def test_eval_cli_detection_real_coder(coco_root):
+    """Bitstream-level mAP: detections computed on the actual
+    compress->decompress reconstruction (--real-coder)."""
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import main
+
+    kw = json.loads(TINY_CNN)
+    kw.update(num_classes=3, task_block="basic", task_layers=[1, 1, 1, 1])
+    res = main(
+        [
+            "detection", "-d", coco_root, "-m", "cnn2", "--real-coder",
+            "--model-kwargs", json.dumps(kw), "--max-images", "1",
+        ]
+    )
+    assert res["bpp"] > 0
+    assert {"mAP", "AP50", "AP75"} <= set(res)
+
+
+def test_eval_cli_segmentation_real_coder(coco_root):
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import main
+
+    kw = json.loads(TINY_TASKS)
+    kw.update(num_seg_classes=5, task_backbone="resnet18")
+    res = main(
+        [
+            "segmentation", "-d", coco_root, "-m", "stf10", "--real-coder",
+            "--model-kwargs", json.dumps(kw), "--max-images", "1",
+        ]
+    )
+    assert res["bpp"] > 0
+    assert 0.0 <= res["mIoU"] <= 1.0

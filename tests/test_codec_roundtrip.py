@@ -65,6 +65,26 @@ def test_actual_bpp_close_to_estimate(codec):
     assert actual_bpp == pytest.approx(est_bpp, rel=0.15), (actual_bpp, est_bpp)
 
 
+def test_pipelined_roundtrip_bitexact(codec):
+    """Software-pipelined codec (stream groups overlap host rANS with
+    device context steps): encode and decode with the SAME grouping must
+    reproduce the encoder's y_hat bit-for-bit, and the reconstruction
+    must match the serial codec's closely (grouping changes the XLA
+    batch shape, so floats may differ at the ulp level across configs)."""
+    c, model, variables, x = codec
+    enc = c.compress(x, return_debug=True, pipeline_groups=2)
+    dec = c.decompress(enc["strings"], enc["shape"], pipeline_groups=2)
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+
+    enc1 = c.compress(x)
+    dec1 = c.decompress(enc1["strings"], enc1["shape"])
+    np.testing.assert_allclose(
+        np.asarray(dec["x_hat"]), np.asarray(dec1["x_hat"]), atol=1e-5
+    )
+
+
 def test_decompress_matches_eval_forward_xhat(codec):
     """Eval-mode forward x_hat (STE dequantize path) should equal the real
     coder x_hat up to LRP/STE equivalence: both quantize y to the same grid."""

@@ -41,6 +41,13 @@ def parse_args(argv=None):
     p.add_argument("--split", default="val2017")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--entropy-estimation", action="store_true")
+    p.add_argument(
+        "--real-coder", action="store_true",
+        help="detection/segmentation: feed the task net from the ACTUAL "
+        "compress->decompress reconstruction (bitstream-level task "
+        "metrics, the reference's '__main__.py:256-381' promise) instead "
+        "of the forward-path x_hat",
+    )
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--model-kwargs", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -70,6 +77,66 @@ def load_model_and_params(args, example):
     return model, variables
 
 
+CODEC_KINDS = {
+    "stf9": "crc", "stf11": "crc", "stf12": "crc", "stf14": "crc",
+    "stf13": "crc3", "seg_oj_ICM": "segoj", "stf2": "stf2",
+    "stf3": "masked", "stf4": "masked",
+}
+
+
+def build_codec(name, model, variables):
+    """Codec driver for a registry name (None if the model has none)."""
+    kind = CODEC_KINDS.get(name, "charm")
+    if kind == "crc":
+        from icm_tpu.models import CRCCodec
+
+        return CRCCodec(model, variables), kind
+    if kind == "crc3":
+        from icm_tpu.models.crc_codec import CRC3Codec
+
+        return CRC3Codec(model, variables), kind
+    if kind == "segoj":
+        from icm_tpu.models import SegOjCodec
+
+        return SegOjCodec(model, variables), kind
+    if kind == "stf2":
+        from icm_tpu.models.crc_codec import Stf2Codec
+
+        return Stf2Codec(model, variables), kind
+    if kind == "masked":
+        from icm_tpu.models import Stf3Codec
+
+        return Stf3Codec(model, variables), kind
+    from icm_tpu.models import CharmCodec
+
+    return CharmCodec(model, variables), kind
+
+
+def codec_roundtrip(codec, kind, x):
+    """compress -> decompress; returns (x_hat, bits, t_enc, t_dec)."""
+    t0 = time.time()
+    enc = codec.compress(x)
+    t_enc = time.time() - t0
+    t0 = time.time()
+    if kind == "crc":
+        dec = codec.decompress(enc["strings"], enc["shape"], enc["human_shape"])
+    elif kind == "crc3":
+        dec = codec.decompress(
+            enc["strings"], enc["shape"], enc["seg_shape"], enc["human_shape"]
+        )
+    elif kind == "segoj":
+        dec = codec.decompress(enc["strings"], enc["shape"], enc["seg_shape"])
+    elif kind == "stf2":
+        dec = codec.decompress(
+            enc["strings"], enc["shape"], enc["out_hw"], enc["lattice"]
+        )
+    else:
+        dec = codec.decompress(enc["strings"], enc["shape"])
+    t_dec = time.time() - t0
+    bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
+    return dec["x_hat"], bits, t_enc, t_dec
+
+
 def eval_image(args):
     import jax
     import jax.numpy as jnp
@@ -91,32 +158,10 @@ def eval_image(args):
     model, variables = load_model_and_params(args, (jnp.asarray(first),))
 
     codec = None
-    kind = {
-        "stf9": "crc", "stf11": "crc", "stf12": "crc", "stf14": "crc",
-        "stf13": "crc3", "seg_oj_ICM": "segoj", "stf2": "stf2",
-    }.get(args.model, "charm")
+    kind = CODEC_KINDS.get(args.model, "charm")
     if not args.entropy_estimation:
         try:
-            if kind == "crc":
-                from icm_tpu.models import CRCCodec
-
-                codec = CRCCodec(model, variables)
-            elif kind == "crc3":
-                from icm_tpu.models.crc_codec import CRC3Codec
-
-                codec = CRC3Codec(model, variables)
-            elif kind == "segoj":
-                from icm_tpu.models import SegOjCodec
-
-                codec = SegOjCodec(model, variables)
-            elif kind == "stf2":
-                from icm_tpu.models.crc_codec import Stf2Codec
-
-                codec = Stf2Codec(model, variables)
-            else:
-                from icm_tpu.models import CharmCodec
-
-                codec = CharmCodec(model, variables)
+            codec, kind = build_codec(args.model, model, variables)
         except Exception as e:  # models without a coder path
             print(f"real coder unavailable for {args.model} ({e}); "
                   "falling back to entropy estimation")
@@ -129,34 +174,8 @@ def eval_image(args):
         x = jnp.asarray(padded[None])
         num_pixels = H * W
         if codec is not None:
-            t0 = time.time()
-            enc = codec.compress(x)
-            t_enc = time.time() - t0
-            t0 = time.time()
-            if kind == "crc":
-                dec = codec.decompress(
-                    enc["strings"], enc["shape"], enc["human_shape"]
-                )
-            elif kind == "crc3":
-                dec = codec.decompress(
-                    enc["strings"], enc["shape"], enc["seg_shape"],
-                    enc["human_shape"],
-                )
-            elif kind == "segoj":
-                dec = codec.decompress(
-                    enc["strings"], enc["shape"], enc["seg_shape"]
-                )
-            elif kind == "stf2":
-                dec = codec.decompress(
-                    enc["strings"], enc["shape"], enc["out_hw"],
-                    enc["lattice"],
-                )
-            else:
-                dec = codec.decompress(enc["strings"], enc["shape"])
-            t_dec = time.time() - t0
-            bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
+            x_hat, bits, t_enc, t_dec = codec_roundtrip(codec, kind, x)
             bpp = bits / num_pixels
-            x_hat = dec["x_hat"]
         else:
             out = model.apply(variables, x, training=False)
             bpp = float(compute_bpp(out["likelihoods"], num_pixels))
@@ -196,23 +215,41 @@ def eval_detection(args):
     x0 = pad_to_multiple(s0["img"], 64)[0][None]
     model, variables = load_model_and_params(args, (jnp.asarray(x0),))
 
+    codec = kind = None
+    total_bits = total_pixels = 0
+    if args.real_coder:
+        codec, kind = build_codec(args.model, model, variables)
+
+        def student_detect(v, x_hat):
+            return model.apply(
+                v, x_hat, method=lambda mdl, xx: mdl.studentNet(xx)
+            )
+
     dets, gts = {}, {}
     n = min(len(ds), args.max_images or len(ds))
     for i in range(n):
         s = ds[i]
         padded, (H, W) = pad_to_multiple(s["img"], 64)
-        out = model.apply(
-            variables, jnp.asarray(padded[None]), training=False,
-        )
-        if out.get("Student_classification") is not None:
+        if codec is not None:
+            # bitstream-level mAP: detections on the DECODED image
+            # (reference __main__.py:256-381 promise)
+            x_hat, bits, _, _ = codec_roundtrip(
+                codec, kind, jnp.asarray(padded[None])
+            )
+            total_bits += bits
+            total_pixels += H * W
+            _, _, cls, reg, anchors = student_detect(variables, x_hat)
+        else:
+            out = model.apply(
+                variables, jnp.asarray(padded[None]), training=False,
+            )
+            if out.get("Student_classification") is None:
+                raise SystemExit(
+                    f"model {args.model} does not produce detection outputs"
+                )
             cls = out["Student_classification"]
             reg = out["Student_regression"]
             anchors = out["Student_anchors"]
-        else:
-            # codec-only model: run detections are not available
-            raise SystemExit(
-                f"model {args.model} does not produce detection outputs"
-            )
         scores, labels, boxes = decode_detections(cls, reg, anchors, (H, W))
         iid = int(s["image_id"])
         dets[iid] = {
@@ -225,6 +262,8 @@ def eval_detection(args):
         print(f"[{i + 1}/{n}] {len(scores)} detections")
 
     res = compute_map(dets, gts)
+    if total_pixels:
+        res["bpp"] = total_bits / total_pixels
     print("mAP:", json.dumps(res))
     return res
 
@@ -241,26 +280,48 @@ def eval_segmentation(args):
     x0 = pad_to_multiple(img0, 64)[0][None]
     model, variables = load_model_and_params(args, (jnp.asarray(x0),))
 
+    codec = kind = None
+    total_bits = total_pixels = 0
+    if args.real_coder:
+        codec, kind = build_codec(args.model, model, variables)
+
+        def student_seg(v, x_hat):
+            return model.apply(
+                v, x_hat, method=lambda mdl, xx: mdl.student_seg_Net(xx)
+            )
+
     metric = SegmentationMetric(ds.NUM_CLASS)
     n = min(len(ds), args.max_images or len(ds))
     for i in range(n):
         img, mask = ds[i]
         padded, (H, W) = pad_to_multiple(img, 64)
-        out = model.apply(
-            variables, jnp.asarray(padded[None]), training=False,
-        )
-        logits = out.get("Student_output")
-        if logits is None:
-            raise SystemExit(
-                f"model {args.model} does not produce segmentation outputs"
+        if codec is not None:
+            # bitstream-level mIoU on the DECODED image
+            x_hat, bits, _, _ = codec_roundtrip(
+                codec, kind, jnp.asarray(padded[None])
             )
+            total_bits += bits
+            total_pixels += H * W
+            logits = student_seg(variables, x_hat)
+        else:
+            out = model.apply(
+                variables, jnp.asarray(padded[None]), training=False,
+            )
+            logits = out.get("Student_output")
+            if logits is None:
+                raise SystemExit(
+                    f"model {args.model} does not produce segmentation outputs"
+                )
         metric.update(np.asarray(logits[0, :H, :W]), mask)
         pix, miou = metric.get()
         print(f"[{i + 1}/{n}] pixAcc={pix:.4f} mIoU={miou:.4f}")
 
     pix, miou = metric.get()
-    print("final:", json.dumps({"pixAcc": pix, "mIoU": miou}))
-    return {"pixAcc": pix, "mIoU": miou}
+    res = {"pixAcc": pix, "mIoU": miou}
+    if total_pixels:
+        res["bpp"] = total_bits / total_pixels
+    print("final:", json.dumps(res))
+    return res
 
 
 def main(argv=None):
