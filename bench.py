@@ -43,15 +43,30 @@ def main():
     )
     jax.block_until_ready(variables)
 
-    # secondary: jitted eval forward throughput
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))
-    out = fwd(variables["params"], x)
-    jax.block_until_ready(out["x_hat"])
-    t0 = time.time()
-    for _ in range(5):
-        out = fwd(variables["params"], x)
-    jax.block_until_ready(out["x_hat"])
-    fwd_ips = batch * 5 / (time.time() - t0)
+    # secondary: jitted eval forward throughput (30 iters so device
+    # compute, not dispatch latency over the tunnel, dominates)
+    def measure_fwd(fn, iters=30):
+        out = fn(variables["params"], x)
+        jax.block_until_ready(out["x_hat"])
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(variables["params"], x)
+        jax.block_until_ready(out["x_hat"])
+        return batch * iters / (time.time() - t0)
+
+    fwd_ips = measure_fwd(
+        jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))
+    )
+
+    # bf16 activation pipeline (transforms bf16, entropy math f32) — the
+    # training-forward fast path; the coder below stays on the f32 policy
+    from icm_tpu.nn import set_activation_dtype
+
+    set_activation_dtype(jnp.bfloat16)
+    fwd16_ips = measure_fwd(
+        jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))
+    )
+    set_activation_dtype(None)
 
     # symmetric stream-group pipelining: decode overlaps one group's
     # device context step with the other's host rANS + link transfers
@@ -63,19 +78,22 @@ def main():
     dec = codec.decompress(enc["strings"], enc["shape"], pipeline_groups=groups)
     jax.block_until_ready(dec["x_hat"])
 
-    iters = 3
-    t_enc = t_dec = 0.0
+    # median-of-iters: the remote-TPU link adds heavy per-run variance
+    iters = 5
+    enc_ts, dec_ts = [], []
     for _ in range(iters):
         t0 = time.time()
         enc = codec.compress(x, pipeline_groups=groups)
-        t_enc += time.time() - t0
+        enc_ts.append(time.time() - t0)
         t0 = time.time()
         dec = codec.decompress(
             enc["strings"], enc["shape"], pipeline_groups=groups
         )
         jax.block_until_ready(dec["x_hat"])
-        t_dec += time.time() - t0
-    ips = batch * iters / (t_enc + t_dec)
+        dec_ts.append(time.time() - t0)
+    t_enc = float(np.median(enc_ts))
+    t_dec = float(np.median(dec_ts))
+    ips = batch / (t_enc + t_dec)
 
     bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
     bpp = bits / (batch * size * size)
@@ -84,8 +102,9 @@ def main():
         "batch": batch,
         "bpp_untrained": round(bpp, 3),
         "fwd_images_per_sec": round(fwd_ips, 1),
-        "enc_images_per_sec": round(batch * iters / t_enc, 2),
-        "dec_images_per_sec": round(batch * iters / t_dec, 2),
+        "fwd_bf16_images_per_sec": round(fwd16_ips, 1),
+        "enc_images_per_sec": round(batch / t_enc, 2),
+        "dec_images_per_sec": round(batch / t_dec, 2),
         "backend": jax.default_backend(),
     }
     vs_baseline = None

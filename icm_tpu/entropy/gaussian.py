@@ -61,6 +61,11 @@ class GaussianConditional(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, scales, means=None, training: bool = True):
+        # entropy math stays f32 under any activation-dtype policy
+        inputs = inputs.astype(jnp.float32)
+        scales = scales.astype(jnp.float32)
+        if means is not None:
+            means = means.astype(jnp.float32)
         if training:
             outputs = quantize(inputs, "noise", rng=self.make_rng("noise"))
         else:

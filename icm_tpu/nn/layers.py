@@ -37,6 +37,7 @@ def conv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.Conv:
         (kernel_size, kernel_size),
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
+        dtype=activation_dtype(),
     )
 
 
@@ -45,7 +46,9 @@ def conv3x3(features: int, stride: int = 1) -> nn.Conv:
 
 
 def conv1x1(features: int, stride: int = 1) -> nn.Conv:
-    return nn.Conv(features, (1, 1), strides=(stride, stride))
+    return nn.Conv(
+        features, (1, 1), strides=(stride, stride), dtype=activation_dtype()
+    )
 
 
 def deconv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.ConvTranspose:
@@ -63,6 +66,7 @@ def deconv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.ConvTrans
         (k, k),
         strides=(s, s),
         padding=((lo, hi), (lo, hi)),
+        dtype=activation_dtype(),
     )
 
 
@@ -81,6 +85,7 @@ class SubpelConv(nn.Module):
             self.features * self.r ** 2,
             (self.kernel_size, self.kernel_size),
             padding=((pad, pad), (pad, pad)),
+            dtype=activation_dtype(),
         )(x)
         if self.r == 1:
             return x
@@ -147,6 +152,27 @@ def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int) -> np
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+_ACT_DTYPE = None  # None = full f32 (flax default promotion)
+
+
+def set_activation_dtype(value):
+    """Mixed-precision policy for the transform stacks: pass
+    ``jnp.bfloat16`` to run conv/dense/attention activations in bf16
+    (params stay f32 masters; flax casts both to the compute dtype per
+    layer). Entropy math (EB/GC likelihoods) and LayerNorm/softmax stay
+    f32 regardless — the coder path never uses this policy, so
+    bitstreams are unaffected. ``None`` restores full f32.
+
+    Must be set BEFORE tracing (module construction is pure; the dtype
+    is read at trace time), like :func:`set_use_pallas`."""
+    global _ACT_DTYPE
+    _ACT_DTYPE = value
+
+
+def activation_dtype():
+    return _ACT_DTYPE
+
+
 _USE_PALLAS: Optional[bool] = None
 
 
@@ -188,7 +214,10 @@ class WindowAttention(nn.Module):
         head_dim = C // nh
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(
+            C * 3, use_bias=self.qkv_bias, name="qkv",
+            dtype=activation_dtype(),
+        )(x)
 
         wh, ww = self.window_size
         table = self.param(
@@ -220,7 +249,7 @@ class WindowAttention(nn.Module):
             cls_idx = jnp.tile(jnp.asarray(cls_per_window, jnp.int32), (B,))
             out = window_attention_fused(q, k, v, bias_cls, cls_idx)
             out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-            return nn.Dense(C, name="proj")(out)
+            return nn.Dense(C, name="proj", dtype=activation_dtype())(out)
 
         qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -234,11 +263,13 @@ class WindowAttention(nn.Module):
                 mask, attn.dtype
             )[None, :, None]
             attn = attn.reshape(B_, nh, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            v.dtype
+        )
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(C, name="proj")(out)
+        return nn.Dense(C, name="proj", dtype=activation_dtype())(out)
 
 
 class WinBasedAttention(nn.Module):

@@ -40,6 +40,7 @@ import numpy as np
 
 from .layers import (
     WindowAttention,
+    activation_dtype,
     shifted_window_mask,
     window_partition,
     window_reverse,
@@ -52,9 +53,9 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=activation_dtype())(x)
         x = jax.nn.gelu(x)
-        return nn.Dense(self.out)(x)
+        return nn.Dense(self.out, dtype=activation_dtype())(x)
 
 
 class DropPath(nn.Module):
@@ -142,7 +143,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = nn.LayerNorm(epsilon=1e-5)(x)
-        return nn.Dense(2 * C, use_bias=False)(x)
+        return nn.Dense(2 * C, use_bias=False, dtype=activation_dtype())(x)
 
 
 class PatchSplit(nn.Module):
@@ -154,7 +155,7 @@ class PatchSplit(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         x = nn.LayerNorm(epsilon=1e-5)(x)
-        x = nn.Dense(2 * C, use_bias=False)(x)
+        x = nn.Dense(2 * C, use_bias=False, dtype=activation_dtype())(x)
         # depth-to-space r=2 (PixelShuffle semantics)
         x = x.reshape(B, H, W, C // 2, 2, 2)
         x = x.transpose(0, 1, 4, 2, 5, 3)
@@ -207,7 +208,10 @@ class PatchEmbed(nn.Module):
             x = jnp.pad(
                 x, ((0, 0), (0, (p - H % p) % p), (0, (p - W % p) % p), (0, 0))
             )
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID")(x)
+        x = nn.Conv(
+            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            dtype=activation_dtype(),
+        )(x)
         if self.use_norm:
             x = nn.LayerNorm(epsilon=1e-5)(x)
         return x
@@ -230,8 +234,12 @@ class CrossWindowAttention(nn.Module):
         B_, N, C = x.shape
         nh = self.num_heads
         hd = C // nh
-        q = nn.Dense(C, use_bias=self.qkv_bias, name="q")(x)
-        kv = nn.Dense(2 * C, use_bias=self.qkv_bias, name="kv")(context)
+        q = nn.Dense(
+            C, use_bias=self.qkv_bias, name="q", dtype=activation_dtype()
+        )(x)
+        kv = nn.Dense(
+            2 * C, use_bias=self.qkv_bias, name="kv", dtype=activation_dtype()
+        )(context)
         q = q.reshape(B_, N, nh, hd).transpose(0, 2, 1, 3)
         kv = kv.reshape(B_, N, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
@@ -252,10 +260,12 @@ class CrossWindowAttention(nn.Module):
                 mask, attn.dtype
             )[None, :, None]
             attn = attn.reshape(B_, nh, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            v.dtype
+        )
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(C, name="proj")(out)
+        return nn.Dense(C, name="proj", dtype=activation_dtype())(out)
 
 
 class SwinBlockCross(nn.Module):

@@ -37,7 +37,9 @@ class RateDistortionLoss:
         B, H, W, _ = target.shape
         num_pixels = B * H * W
         bpp_loss = self._bpp(output, num_pixels)
-        mse_loss = jnp.mean((output["x_hat"] - target) ** 2)
+        mse_loss = jnp.mean(
+            (output["x_hat"].astype(jnp.float32) - target) ** 2
+        )
         loss = self.lmbda * 255 ** 2 * mse_loss + bpp_loss
         return {
             "loss": loss,
@@ -55,7 +57,9 @@ class DetectionICMLoss(RateDistortionLoss):
         B, H, W, _ = target.shape
         num_pixels = B * H * W
         bpp_loss = self._bpp(output, num_pixels)
-        mse_loss = jnp.mean((output["decompressedImage"] - target) ** 2)
+        mse_loss = jnp.mean(
+            (output["decompressedImage"].astype(jnp.float32) - target) ** 2
+        )
         t = output["Teacher_output_features"]
         s = output["Student_output_features"]
         feature_loss = sum(
