@@ -59,6 +59,46 @@ def _attn_kernel(cls_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
 def window_attention_fused(
     q, k, v, bias, cls_idx, *, tile: int = 8, interpret: bool = False
 ):
+    """Differentiable wrapper: forward runs the fused Pallas kernel,
+    backward differentiates the numerically-equal XLA reference
+    implementation (Pallas TPU kernels don't support reverse-mode
+    autodiff, which the training path needs)."""
+    return _fused_vjp(q, k, v, bias, cls_idx, tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_vjp(q, k, v, bias, cls_idx, tile, interpret):
+    return _window_attention_fused_impl(
+        q, k, v, bias, cls_idx, tile=tile, interpret=interpret
+    )
+
+
+def _fused_fwd(q, k, v, bias, cls_idx, tile, interpret):
+    out = _window_attention_fused_impl(
+        q, k, v, bias, cls_idx, tile=tile, interpret=interpret
+    )
+    return out, (q, k, v, bias, cls_idx)
+
+
+def _fused_bwd(tile, interpret, res, g):
+    q, k, v, bias, cls_idx = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: window_attention_reference(
+            q_, k_, v_, b_, cls_idx
+        ),
+        q, k, v, bias,
+    )
+    dq, dk, dv, dbias = vjp(g)
+    dcls = np.zeros(cls_idx.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dbias, dcls
+
+
+_fused_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _window_attention_fused_impl(
+    q, k, v, bias, cls_idx, *, tile: int = 8, interpret: bool = False
+):
     """q, k, v: (W, H, N, D); bias: (n_cls, H, N, N) (relative-position
     bias with the SW-MSA mask already folded in); cls_idx: (W,) int32
     class per window. Returns (W, H, N, D).
@@ -88,7 +128,7 @@ def window_attention_fused(
         vc = vp.reshape(n, chunk, H, N, D)
         cc = cp.reshape(n, chunk)
         out = jax.lax.map(
-            lambda args: window_attention_fused(
+            lambda args: _window_attention_fused_impl(
                 args[0], args[1], args[2], bias, args[3], tile=tile
             ),
             (qc, kc, vc, cc),
