@@ -10,19 +10,29 @@ against frozen detection/segmentation task heads.
 
 __version__ = "0.1.0"
 
-_entropy_coder = "ans"
+_CODER_ALIASES = {"ans": "rans"}  # reference drop-in name (its rANS is "ans")
 
 
 def available_entropy_coders():
-    return ["ans"]
+    """Selectable coder backends (reference surface:
+    ``compressai/__init__.py:22-62``): the native C++ rANS ("rans",
+    reference-compatible alias "ans") and the byte-identical pure-Python
+    model ("rans-py")."""
+    from . import coding
+
+    names = list(coding.available_entropy_coders())
+    if "rans" in names:
+        names.insert(0, "ans")
+    return names
 
 
 def get_entropy_coder():
-    return _entropy_coder
+    from . import coding
+
+    return coding.get_entropy_coder()
 
 
 def set_entropy_coder(name: str):
-    global _entropy_coder
-    if name not in available_entropy_coders():
-        raise ValueError(f"Unknown entropy coder {name!r}")
-    _entropy_coder = name
+    from . import coding
+
+    coding.set_entropy_coder(_CODER_ALIASES.get(name, name))

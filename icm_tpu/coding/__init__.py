@@ -33,8 +33,53 @@ from . import rans_py
 _lib = None
 _native_checked = False
 
+# --- selectable coder backend (reference surface: compressai
+# set_entropy_coder/get_entropy_coder/available_entropy_coders,
+# reference compressai/__init__.py:22-62). Backends:
+#   "rans"    - the native C++ rANS (cpp/rans.cpp)
+#   "rans-py" - the byte-identical pure-Python model (rans_py.py)
+# Streams are interchangeable between the two (tests/test_coding.py).
+_entropy_coder = None  # lazy default: "rans" when the native lib loads
+
+
+def available_entropy_coders() -> List[str]:
+    """Names accepted by :func:`set_entropy_coder`."""
+    names = []
+    if _load_native_raw() is not None:
+        names.append("rans")
+    names.append("rans-py")
+    return names
+
+
+def set_entropy_coder(name: str):
+    """Select the entropy-coder backend for all subsequent encode/decode
+    calls (codec drivers resolve the backend per call, so this takes
+    effect immediately)."""
+    avail = available_entropy_coders()
+    if name not in avail:
+        raise ValueError(
+            f'Invalid entropy coder "{name}", choose from ({", ".join(avail)})'
+        )
+    global _entropy_coder
+    _entropy_coder = name
+
+
+def get_entropy_coder() -> str:
+    global _entropy_coder
+    if _entropy_coder is None:
+        _entropy_coder = "rans" if _load_native_raw() is not None else "rans-py"
+    return _entropy_coder
+
 
 def _load_native():
+    """Active-backend native handle: None when "rans-py" is selected (the
+    pure-Python fallbacks in every API below then take over)."""
+    if get_entropy_coder() == "rans-py":
+        return None
+    return _load_native_raw()
+
+
+def _load_native_raw():
     global _lib, _native_checked
     if _native_checked:
         return _lib

@@ -194,3 +194,40 @@ def test_batch_decoder_lut_matches():
     dec = BatchRansDecoder(streams)
     out = dec.decode_stream(indexes, cdfs, lengths, offsets, lut=lut)
     np.testing.assert_array_equal(out, symbols)
+
+
+def test_selectable_coder_registry():
+    """Reference surface (compressai/__init__.py:22-62): selectable coder
+    backend; streams interchangeable across backends."""
+    import icm_tpu
+    from icm_tpu import coding
+
+    avail = icm_tpu.available_entropy_coders()
+    assert "rans-py" in avail
+    orig = icm_tpu.get_entropy_coder()
+    try:
+        rng = np.random.default_rng(7)
+        cdfs, lengths, offsets = _random_tables(rng)
+        idx = rng.integers(0, len(lengths), 64).astype(np.int32)
+        sym = _random_symbols(rng, 64, lengths, offsets, idx)
+
+        icm_tpu.set_entropy_coder("rans-py")
+        assert coding.get_entropy_coder() == "rans-py"
+        assert not coding.native_available()  # py backend active
+        s_py = RansEncoder().encode_with_indexes(sym, idx, cdfs, lengths, offsets)
+
+        if "ans" in avail:  # native lib present: alias + cross-decode
+            icm_tpu.set_entropy_coder("ans")
+            assert coding.get_entropy_coder() == "rans"
+            s_nat = RansEncoder().encode_with_indexes(
+                sym, idx, cdfs, lengths, offsets
+            )
+            assert s_nat == s_py  # byte-identical backends
+            dec = RansDecoder()
+            out = dec.decode_with_indexes(s_py, idx, cdfs, lengths, offsets)
+            np.testing.assert_array_equal(np.asarray(out), sym)
+
+        with pytest.raises(ValueError):
+            icm_tpu.set_entropy_coder("nope")
+    finally:
+        coding.set_entropy_coder(orig)
