@@ -11,6 +11,7 @@ reference's on that host (methodology note in "extra"). "extra" carries
 secondary measurements (jitted eval-forward throughput, bpp).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -21,15 +22,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    size = 512
-    batch = 4
-    from icm_tpu.models import CharmCodec, WACNN
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--model", default="cnn",
+        help="registry name; any CharmCodec-protocol model (cnn, stf, "
+        "stf5-8, ...). Default cnn = flagship WACNN.",
+    )
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--batch", type=int, default=4)
+    args = p.parse_args(argv)
+    size = args.size
+    batch = args.batch
+    from icm_tpu.models import CharmCodec, create_model
     from icm_tpu.nn import set_use_pallas
 
     set_use_pallas(None)  # auto: fused kernel where profitable (W<=256)
 
-    model = WACNN()  # full-size: N=192, M=320, 10 slices
+    model = create_model(args.model)  # cnn: full-size N=192, M=320, 10 slices
     # near-midgray input: an untrained model on white-noise input produces
     # far-out-of-range symbols (6+ bpp of bypass escapes), which benchmarks
     # the coder on a statistically unrealistic stream; low-amplitude input
@@ -100,6 +110,7 @@ def main():
 
     extra = {
         "batch": batch,
+        "model": args.model,
         "bpp_untrained": round(bpp, 3),
         "fwd_images_per_sec": round(fwd_ips, 1),
         "fwd_bf16_images_per_sec": round(fwd16_ips, 1),
@@ -110,7 +121,9 @@ def main():
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_reference.json")
-    if os.path.exists(base_path):
+    if args.model != "cnn" or size != 512:
+        base_path = ""  # the measured reference baseline is cnn @512 only
+    if base_path and os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
         ref_ips = base.get("ref_encdec_img_per_s")

@@ -43,6 +43,12 @@ class Stf3Codec:
     (``causal=True``); strings = [y_strings, z_strings]."""
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
+        if not getattr(model, "causal", False):
+            raise ValueError(
+                "Stf3Codec needs a causal context model: build with "
+                "causal=True (the reference's default teacher-forced "
+                "context is not decodable — see ClipEncoder3 docstring)"
+            )
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)

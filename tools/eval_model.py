@@ -60,7 +60,16 @@ def load_model_and_params(args, example):
     from icm_tpu.models import create_model
     from icm_tpu.train import load_checkpoint
 
-    model = create_model(args.model, **model_kwargs(args))
+    kwargs = model_kwargs(args)
+    if (
+        args.model in ("stf3", "stf4")
+        and not args.entropy_estimation
+        and "causal" not in kwargs
+    ):
+        # the real coder needs the causal context variant (same params;
+        # the reference's teacher-forced context is not decodable)
+        kwargs["causal"] = True
+    model = create_model(args.model, **kwargs)
     rngs = {
         "params": jax.random.PRNGKey(args.seed),
         "noise": jax.random.PRNGKey(1),
