@@ -70,11 +70,14 @@ def main(argv=None):
 
     # mid-size model: big enough that learning is non-trivial, small
     # enough to overfit in a few hundred steps
+    # scan_charm: the AR slice loop compiles ONCE as a lax.scan (the
+    # unrolled loop's backward is compile-prohibitive over the tunnel)
     model = WACNN(
         N=64, M=96, num_slices=6, max_support_slices=5,
         hyper_enc_widths=(96, 80, 64, 56, 48),
         hyper_dec_widths=(48, 56, 64, 80, 96),
         cc_widths=(64, 48, 40, 32),
+        scan_charm=True,
     )
     x_np = synth_images(args.batch, args.size)
     x = jnp.asarray(x_np)
@@ -109,9 +112,21 @@ def main(argv=None):
 
     wall = time.time() - t0
 
-    # real-coder check on the trained weights
-    trained = {"params": state.params}
-    codec = CharmCodec(model, trained)
+    # real-coder check on the trained weights: the codec drives the
+    # unrolled per-slice protocol, so unstack the scan-trained params
+    from icm_tpu.models.cnn import unstack_charm_params
+
+    unrolled = model.clone(scan_charm=False)
+    p = dict(state.params)
+    p.update(
+        unstack_charm_params(
+            p, model.num_slices, model.M // model.num_slices,
+            model.max_support_slices, model.hyper_dec_widths[-1],
+        )
+    )
+    p.pop("charm_scan")
+    trained = {"params": p}
+    codec = CharmCodec(unrolled, trained)
     enc = codec.compress(x)
     dec = codec.decompress(enc["strings"], enc["shape"])
     bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
@@ -119,7 +134,7 @@ def main(argv=None):
     mse = float(jnp.mean((jnp.clip(dec["x_hat"], 0, 1) - x) ** 2))
     coder_psnr = -10.0 * np.log10(mse)
 
-    out = model.apply(trained, x, training=False)
+    out = unrolled.apply(trained, x, training=False)
     est_bpp = float(compute_bpp(out["likelihoods"], num_pixels))
 
     result = {
