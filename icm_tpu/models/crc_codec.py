@@ -30,6 +30,7 @@ from .. import coding
 from ..entropy import build_indexes
 from .base import CodecTables
 from .codec import _eb_indexes, build_codec_tables
+from .pipelining import group_bounds, merge_outputs, run_groups, split_strings
 
 
 class CRCCodec:
@@ -138,7 +139,23 @@ class CRCCodec:
         )
 
     # --- public API ----------------------------------------------------------
-    def compress(self, x, return_debug: bool = False) -> Dict[str, Any]:
+    def compress(
+        self, x, return_debug: bool = False, pipeline_groups: int = 1
+    ) -> Dict[str, Any]:
+        """``pipeline_groups``: see ``CharmCodec.compress`` — symmetric
+        stream-group pipelining (groups run on threads; the blocking
+        index fetches and native rANS release the GIL, overlapping with
+        the other groups' device work). MUST match decompress."""
+        bounds = group_bounds(x.shape[0], pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda a, b: self._compress_group(x[a:b], return_debug),
+                list(zip(bounds[:-1], bounds[1:])),
+            )
+            return merge_outputs(outs, ("y_hat", "x_hat"))
+        return self._compress_group(x, return_debug)
+
+    def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
         v = self.variables
         y, z = self._m_analyze(v, x)
         B = x.shape[0]
@@ -188,7 +205,19 @@ class CRCCodec:
             )
         return out
 
-    def decompress(self, strings, shape, human_shape) -> Dict[str, Any]:
+    def decompress(
+        self, strings, shape, human_shape, pipeline_groups: int = 1
+    ) -> Dict[str, Any]:
+        bounds = group_bounds(len(strings[0]), pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda g: self._decompress_group(g, shape, human_shape),
+                [(g,) for g in split_strings(strings, bounds)],
+            )
+            return merge_outputs(outs, ("x_hat", "y_hat"))
+        return self._decompress_group(strings, shape, human_shape)
+
+    def _decompress_group(self, strings, shape, human_shape) -> Dict[str, Any]:
         v = self.variables
         y_strings, z_strings, hy_strings, hz_strings = strings
         z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
@@ -452,7 +481,19 @@ class SegOjCodec:
         )
         return driver.assemble(v, slices)
 
-    def compress(self, x, return_debug: bool = False):
+    def compress(
+        self, x, return_debug: bool = False, pipeline_groups: int = 1
+    ):
+        bounds = group_bounds(x.shape[0], pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda a, b: self._compress_group(x[a:b], return_debug),
+                list(zip(bounds[:-1], bounds[1:])),
+            )
+            return merge_outputs(outs, ("y_hat", "seg_y_hat", "x_hat"))
+        return self._compress_group(x, return_debug)
+
+    def _compress_group(self, x, return_debug: bool = False):
         v = self.variables
         y = self._m_analyze(v, x)
         y_strings, z_strings, y_hat, m_shape = self._encode_layer(
@@ -474,7 +515,17 @@ class SegOjCodec:
             out["x_hat"] = self._seg_synth(v, seg_y_hat, x_hat)
         return out
 
-    def decompress(self, strings, shape, seg_shape):
+    def decompress(self, strings, shape, seg_shape, pipeline_groups: int = 1):
+        bounds = group_bounds(len(strings[0]), pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda g: self._decompress_group(g, shape, seg_shape),
+                [(g,) for g in split_strings(strings, bounds)],
+            )
+            return merge_outputs(outs, ("x_hat", "y_hat", "seg_y_hat"))
+        return self._decompress_group(strings, shape, seg_shape)
+
+    def _decompress_group(self, strings, shape, seg_shape):
         v = self.variables
         y_strings, z_strings, sy_strings, sz_strings = strings
         y_hat = self._decode_layer(
@@ -563,7 +614,19 @@ class CRC3Codec:
     _encode_layer = SegOjCodec._encode_layer
     _decode_layer = SegOjCodec._decode_layer
 
-    def compress(self, x, return_debug: bool = False):
+    def compress(
+        self, x, return_debug: bool = False, pipeline_groups: int = 1
+    ):
+        bounds = group_bounds(x.shape[0], pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda a, b: self._compress_group(x[a:b], return_debug),
+                list(zip(bounds[:-1], bounds[1:])),
+            )
+            return merge_outputs(outs, ("y_hat", "seg_y_hat", "x_hat"))
+        return self._compress_group(x, return_debug)
+
+    def _compress_group(self, x, return_debug: bool = False):
         v = self.variables
         y = self._m_analyze(v, x)
         y_s, z_s, y_hat, m_shape = self._encode_layer(
@@ -605,7 +668,21 @@ class CRC3Codec:
             )
         return out
 
-    def decompress(self, strings, shape, seg_shape, human_shape):
+    def decompress(
+        self, strings, shape, seg_shape, human_shape, pipeline_groups: int = 1
+    ):
+        bounds = group_bounds(len(strings[0]), pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda g: self._decompress_group(
+                    g, shape, seg_shape, human_shape
+                ),
+                [(g,) for g in split_strings(strings, bounds)],
+            )
+            return merge_outputs(outs, ("x_hat", "y_hat", "seg_y_hat"))
+        return self._decompress_group(strings, shape, seg_shape, human_shape)
+
+    def _decompress_group(self, strings, shape, seg_shape, human_shape):
         v = self.variables
         y_s, z_s, sy_s, sz_s, hy_s, hz_s = strings
         y_hat = self._decode_layer(
@@ -742,7 +819,21 @@ class CzigzagCodec:
             slices.append(y_hat)
         return slices, sym_list, idx_list
 
-    def compress(self, x, up_x4, return_debug: bool = False):
+    def compress(
+        self, x, up_x4, return_debug: bool = False, pipeline_groups: int = 1
+    ):
+        bounds = group_bounds(x.shape[0], pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda a, b: self._compress_group(
+                    x[a:b], up_x4[a:b], return_debug
+                ),
+                list(zip(bounds[:-1], bounds[1:])),
+            )
+            return merge_outputs(outs, ("y_hat", "x_hat"))
+        return self._compress_group(x, up_x4, return_debug)
+
+    def _compress_group(self, x, up_x4, return_debug: bool = False):
         v = self.variables
         ctx_list, hctx, hctx2, dec_ctx = self._pyramids(v, up_x4)
         y = self._analyze(v, x, ctx_list)
@@ -772,7 +863,23 @@ class CzigzagCodec:
             out["x_hat"] = x_hat
         return out
 
-    def decompress(self, strings, shape, up_x4):
+    def decompress(self, strings, shape, up_x4, pipeline_groups: int = 1):
+        bounds = group_bounds(len(strings[0]), pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda g, a, b: self._decompress_group(g, shape, up_x4[a:b]),
+                [
+                    (g, a, b)
+                    for g, (a, b) in zip(
+                        split_strings(strings, bounds),
+                        zip(bounds[:-1], bounds[1:]),
+                    )
+                ],
+            )
+            return merge_outputs(outs, ("x_hat", "y_hat"))
+        return self._decompress_group(strings, shape, up_x4)
+
+    def _decompress_group(self, strings, shape, up_x4):
         v = self.variables
         y_strings, z_strings = strings
         _, hctx, hctx2, dec_ctx = self._pyramids(v, up_x4)
@@ -890,7 +997,19 @@ class Stf2Codec:
             toks.append(y_hat.reshape(B, D))
         return toks, sym_list, idx_list
 
-    def compress(self, x, return_debug: bool = False):
+    def compress(
+        self, x, return_debug: bool = False, pipeline_groups: int = 1
+    ):
+        bounds = group_bounds(x.shape[0], pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda a, b: self._compress_group(x[a:b], return_debug),
+                list(zip(bounds[:-1], bounds[1:])),
+            )
+            return merge_outputs(outs, ("y_hat", "x_hat"))
+        return self._compress_group(x, return_debug)
+
+    def _compress_group(self, x, return_debug: bool = False):
         v = self.variables
         y, z = self._analyze(v, x)
         med = self._eb_medians(v)
@@ -919,7 +1038,19 @@ class Stf2Codec:
             out["x_hat"] = x_hat
         return out
 
-    def decompress(self, strings, shape, out_hw, lattice):
+    def decompress(
+        self, strings, shape, out_hw, lattice, pipeline_groups: int = 1
+    ):
+        bounds = group_bounds(len(strings[0]), pipeline_groups)
+        if len(bounds) > 2:
+            outs = run_groups(
+                lambda g: self._decompress_group(g, shape, out_hw, lattice),
+                [(g,) for g in split_strings(strings, bounds)],
+            )
+            return merge_outputs(outs, ("x_hat", "y_hat"))
+        return self._decompress_group(strings, shape, out_hw, lattice)
+
+    def _decompress_group(self, strings, shape, out_hw, lattice):
         v = self.variables
         y_strings, z_strings = strings
         z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")

@@ -276,3 +276,32 @@ def test_eval_cli_segmentation_real_coder(coco_root):
     )
     assert res["bpp"] > 0
     assert 0.0 <= res["mIoU"] <= 1.0
+
+
+def test_eval_cli_torch_checkpoint(image_root, tmp_path):
+    """--torch-checkpoint: a reference .pth converts in place and drives
+    the eval (entropy estimation on the full-size WACNN)."""
+    from icm_tpu.utils.reference_bridge import reference_available
+
+    if not reference_available():
+        pytest.skip("reference tree not present")
+    import torch
+
+    from icm_tpu.utils.reference_bridge import ref_wacnn
+
+    torch.manual_seed(0)
+    ckpt = str(tmp_path / "ref_wacnn.pth")
+    torch.save(ref_wacnn().state_dict(), ckpt)
+
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import main
+
+    res = main(
+        [
+            "image", "-d", image_root, "--split", "test", "-m", "cnn",
+            "--torch-checkpoint", ckpt, "--entropy-estimation",
+            "--max-images", "1",
+        ]
+    )
+    assert np.isfinite(res["bpp"]) and res["bpp"] > 0
+    assert np.isfinite(res["psnr"])

@@ -120,3 +120,30 @@ def test_crc3_codec_roundtrip():
         np.clip(np.asarray(enc["x_hat"]), 0, 1),
         atol=1e-6,
     )
+
+
+def test_crc_codec_pipelined_roundtrip():
+    """Symmetric stream-group pipelining (threaded groups) on the layered
+    coder: bitexact y_hat vs the encoder within the pipelined config."""
+    from icm_tpu.models.crc_codec import CRCCodec
+
+    model = create_model("stf9", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    codec = CRCCodec(model, variables)
+    enc = codec.compress(x, return_debug=True, pipeline_groups=2)
+    assert len(enc["strings"]) == 4 and len(enc["strings"][0]) == 2
+    dec = codec.decompress(
+        enc["strings"], enc["shape"], enc["human_shape"], pipeline_groups=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    # and close to the serial config (XLA floats vary with batch shape)
+    enc1 = codec.compress(x)
+    dec1 = codec.decompress(enc1["strings"], enc1["shape"], enc1["human_shape"])
+    np.testing.assert_allclose(
+        np.asarray(dec["x_hat"]), np.asarray(dec1["x_hat"]), atol=1e-5
+    )

@@ -40,6 +40,12 @@ def parse_args(argv=None):
     p.add_argument("-d", "--dataset", required=True)
     p.add_argument("--split", default="val2017")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument(
+        "--torch-checkpoint", default=None,
+        help="reference .pth/.pth.tar checkpoint: converted in place via "
+        "icm_tpu.zoo (all 19 registry names); codec CDF tables are "
+        "rebuilt from the converted weights",
+    )
     p.add_argument("--entropy-estimation", action="store_true")
     p.add_argument(
         "--real-coder", action="store_true",
@@ -76,6 +82,15 @@ def load_model_and_params(args, example):
         "dropout": jax.random.PRNGKey(2),
     }
     variables = dict(jax.jit(model.init)(rngs, *example))
+    if args.torch_checkpoint:
+        from icm_tpu.zoo import load_reference_checkpoint
+
+        converted = load_reference_checkpoint(args.model, args.torch_checkpoint)
+        if isinstance(converted, dict) and "params" in converted:
+            variables.update(converted)
+        else:
+            variables["params"] = converted
+        print(f"converted reference checkpoint {args.torch_checkpoint}")
     if args.checkpoint:
         from icm_tpu.train import TrainState, make_optimizer
 
