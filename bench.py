@@ -21,6 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: full-size graphs take minutes to compile over
+# the remote-TPU tunnel; caching them makes reruns start in seconds
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_icm_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()

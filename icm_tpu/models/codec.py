@@ -294,14 +294,14 @@ class CharmCodec:
         if len(sizes) <= 1:
             return self._compress_group(x, return_debug)
         bounds = np.cumsum([0] + sizes)
-        # dispatch ALL groups' device work first (async), then finish
-        # (device fetch + host rANS) in order: group A's host encode
-        # overlaps group B's device compute
-        pend = [
-            self._compress_dispatch(x[a:b])
-            for a, b in zip(bounds[:-1], bounds[1:])
-        ]
-        outs = [self._compress_finish(p, return_debug) for p in pend]
+        # threaded groups: one group's blocking fetch + host rANS (both
+        # release the GIL) overlap the others' device compute/transfers
+        from .pipelining import run_groups
+
+        outs = run_groups(
+            lambda a, b: self._compress_group(x[a:b], return_debug),
+            list(zip(bounds[:-1], bounds[1:])),
+        )
         merged: Dict[str, Any] = {
             "strings": [
                 [s for o in outs for s in o["strings"][0]],
@@ -457,62 +457,14 @@ class CharmCodec:
         return {"x_hat": x_hat, "y_hat": y_hat}
 
     def _decompress_pipelined(self, groups, shape) -> List[Dict[str, Any]]:
-        """Round-robin the per-slice decode across stream groups. While
-        group g's index fetch + rANS happen on the host, the other
-        groups' context steps run on the device (their index copies were
-        started asynchronously)."""
-        v = self.variables
-        gt = self.tables.gaussian
-        lut = gt.symbol_lut()
-        S = self.model.ctx_slices
+        """Threaded stream groups: the per-slice blocking index fetch (a
+        full link round-trip) and the host rANS release the GIL, so each
+        group's host phases overlap the other groups' device context
+        steps. Measured faster than an explicit single-thread round-robin
+        (tools/probe_threads.py)."""
+        from .pipelining import run_groups
 
-        st: List[dict] = []
-        for y_s, z_s in groups:
-            z_hat = self._decode_z(z_s, shape)
-            state = self._ctx_prepare(v, z_hat)
-            mu, _, index, mean_support = self._slice_context(v, 0, state, [])
-            try:
-                index.copy_to_host_async()
-            except AttributeError:
-                pass
-            st.append(
-                dict(
-                    state=state,
-                    decoder=coding.BatchRansDecoder(y_s),
-                    slices=[],
-                    mu=mu,
-                    index=index,
-                    mean_support=mean_support,
-                )
-            )
-
-        for i in range(S):
-            for g in st:
-                idx_np = np.asarray(jax.device_get(g["index"]))
-                _, sh, sw, sc = idx_np.shape
-                sym = g["decoder"].decode_stream(
-                    self._flat(idx_np), gt.quantized_cdf, gt.cdf_length,
-                    gt.offset, lut=lut,
-                )
-                sym = self._unflat(sym, sh, sw, sc)
-                out = self._step(
-                    v, i, g["state"], g["slices"], _put_symbols(sym),
-                    g["mu"], g["mean_support"],
-                )
-                g["slices"].append(out[0])
-                if len(out) > 1:
-                    g["mu"], g["index"], g["mean_support"] = out[1:4]
-                    try:
-                        g["index"].copy_to_host_async()
-                    except AttributeError:
-                        pass
-
-        return [
-            dict(
-                zip(
-                    ("y_hat", "x_hat"),
-                    self._assemble_synthesize(v, g["slices"]),
-                )
-            )
-            for g in st
-        ]
+        return run_groups(
+            lambda y_s, z_s: self._decompress_group(y_s, z_s, shape),
+            groups,
+        )
