@@ -29,3 +29,14 @@ if "jax" in sys.modules:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the suite's wall time is dominated by XLA
+# compiles of tiny graphs; caching them across runs cuts repeat runs by
+# an order of magnitude (cache is keyed by HLO hash — always safe)
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.expanduser("~"), ".cache", "jax_icm_tpu_tests"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
