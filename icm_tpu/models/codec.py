@@ -83,13 +83,17 @@ def _eb_indexes(shape_hw: tuple, C: int) -> np.ndarray:
     return np.tile(np.arange(C, dtype=np.int32), h * w)
 
 
-def _put_symbols(sym: np.ndarray) -> jax.Array:
+def _put_symbols(sym: np.ndarray, sharding=None) -> jax.Array:
     """Host->device symbol transfer, narrowed to int16 when every value
     fits (it always does for in-range streams; bypass escapes can
     exceed it, so check). Device-side stages cast to float anyway, so
-    the narrower wire dtype changes no math."""
+    the narrower wire dtype changes no math. ``sharding``: place the
+    batch across a mesh (SPMD decode — must match the encode sharding
+    so both sides compile the same partitioned context)."""
     if sym.size and np.abs(sym).max() < 32768:
         sym = sym.astype(np.int16)
+    if sharding is not None:
+        return jax.device_put(sym, sharding)
     return jnp.asarray(sym)
 
 
@@ -113,10 +117,18 @@ class CharmCodec:
         variables,
         tables: CodecTables | None = None,
         ref_layout: bool = False,
+        data_sharding=None,
     ):
+        """``data_sharding``: optional ``jax.sharding.Sharding`` for the
+        batch axis. Shard the input to :meth:`compress` with it and the
+        codec places decoder-side uploads the same way, so encoder and
+        decoder run the identical SPMD partitioning over the mesh (the
+        bit-identical-context invariant extends to sharded execution —
+        tests/test_codec_sharded.py)."""
         self.model = model
         self.variables = variables
         self.ref_layout = ref_layout
+        self.data_sharding = data_sharding
         self.tables = tables or build_codec_tables(model, variables)
         self._scale_table_dev = jnp.asarray(self.tables.scale_table)
 
@@ -265,7 +277,7 @@ class CharmCodec:
             idx, t.quantized_cdf, t.cdf_length, t.offset,
             lut=t.symbol_lut(),
         )
-        sym = _put_symbols(self._unflat(sym, h, w, C))
+        sym = _put_symbols(self._unflat(sym, h, w, C), self.data_sharding)
         return self._z_dequant(self.variables, sym)
 
     # --- public API --------------------------------------------------------
@@ -447,7 +459,8 @@ class CharmCodec:
             )
             sym = self._unflat(sym, sh, sw, sc)
             out = self._step(
-                v, i, state, y_hat_slices, _put_symbols(sym), mu, mean_support
+                v, i, state, y_hat_slices,
+                _put_symbols(sym, self.data_sharding), mu, mean_support,
             )
             y_hat_slices.append(out[0])
             if len(out) > 1:

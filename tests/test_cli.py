@@ -305,3 +305,24 @@ def test_eval_cli_torch_checkpoint(image_root, tmp_path):
     )
     assert np.isfinite(res["bpp"]) and res["bpp"] > 0
     assert np.isfinite(res["psnr"])
+
+
+def test_train_cli_bf16(image_root, tmp_path):
+    """--bf16: transforms train in bf16 activations end-to-end."""
+    sys.path.insert(0, os.getcwd())
+    from tools.train import main
+
+    from icm_tpu.nn import set_activation_dtype
+
+    try:
+        main(
+            [
+                "-d", image_root, "-m", "cnn", "--model-kwargs", TINY_CNN,
+                "-e", "1", "--batch-size", "2", "--test-batch-size", "2",
+                "--patch-size", "64", "64", "--steps-per-epoch", "2",
+                "--save", str(tmp_path / "bf16ck"), "--bf16",
+            ]
+        )
+    finally:
+        set_activation_dtype(None)
+    assert os.path.exists(str(tmp_path / "bf16ck"))

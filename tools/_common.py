@@ -33,7 +33,22 @@ def base_parser(default_model: str, default_lmbda: float = 1e-2):
         "--model-kwargs", default=None,
         help="JSON dict of model constructor overrides",
     )
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 activation pipeline for the transforms (f32 master "
+        "params and entropy math; see icm_tpu.nn.set_activation_dtype)",
+    )
     return p
+
+
+def apply_precision(args):
+    """Apply --bf16 before any model tracing."""
+    if getattr(args, "bf16", False):
+        import jax.numpy as jnp
+
+        from icm_tpu.nn import set_activation_dtype
+
+        set_activation_dtype(jnp.bfloat16)
 
 
 def model_kwargs(args) -> dict:

@@ -11,7 +11,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools._common import base_parser, model_kwargs  # noqa: E402
+from tools._common import apply_precision, base_parser, model_kwargs  # noqa: E402
 
 
 def main(argv=None):

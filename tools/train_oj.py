@@ -8,11 +8,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools._common import base_parser, image_batch_providers, model_kwargs  # noqa: E402
+from tools._common import apply_precision, base_parser, image_batch_providers, model_kwargs  # noqa: E402
 
 
 def main(argv=None):
     args = base_parser(default_model="oj_ICM", default_lmbda=1.0).parse_args(argv)
+    apply_precision(args)
 
     from icm_tpu.models import create_model
     from icm_tpu.train import DetectionICMLoss, make_train_step

@@ -11,7 +11,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools._common import base_parser, model_kwargs  # noqa: E402
+from tools._common import apply_precision, base_parser, model_kwargs  # noqa: E402
 
 
 def seg_batch_providers(args):
@@ -67,6 +67,7 @@ def make_seg_step(model, criterion):
 
 def main(argv=None):
     args = base_parser(default_model="stf10", default_lmbda=1.0).parse_args(argv)
+    apply_precision(args)
 
     from icm_tpu.models import create_model
     from icm_tpu.train import SegmentationICMLoss
