@@ -8,7 +8,7 @@ zigzag context models, a native rANS entropy coder, and ICM training/eval
 against frozen detection/segmentation task heads.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 _CODER_ALIASES = {"ans": "rans"}  # reference drop-in name (its rANS is "ans")
 
