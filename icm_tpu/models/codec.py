@@ -84,14 +84,18 @@ def _eb_indexes(shape_hw: tuple, C: int) -> np.ndarray:
 
 
 def _put_symbols(sym: np.ndarray, sharding=None) -> jax.Array:
-    """Host->device symbol transfer, narrowed to int16 when every value
-    fits (it always does for in-range streams; bypass escapes can
-    exceed it, so check). Device-side stages cast to float anyway, so
-    the narrower wire dtype changes no math. ``sharding``: place the
-    batch across a mesh (SPMD decode — must match the encode sharding
-    so both sides compile the same partitioned context)."""
-    if sym.size and np.abs(sym).max() < 32768:
-        sym = sym.astype(np.int16)
+    """Host->device symbol transfer, narrowed to the smallest int dtype
+    that fits (int8 for in-range streams; bypass escapes can exceed it).
+    Device-side stages cast to float anyway, so the narrower wire dtype
+    changes no math. ``sharding``: place the batch across a mesh (SPMD
+    decode — must match the encode sharding so both sides compile the
+    same partitioned context)."""
+    if sym.size:
+        peak = np.abs(sym).max()
+        if peak < 128:
+            sym = sym.astype(np.int8)
+        elif peak < 32768:
+            sym = sym.astype(np.int16)
     if sharding is not None:
         return jax.device_put(sym, sharding)
     return jnp.asarray(sym)
@@ -142,8 +146,8 @@ class CharmCodec:
         def z_symbols(v, z):
             med = mdl.apply(v, method=mdl.eb_medians)
             sym = jnp.round(z - med).astype(jnp.int32)
-            ovf = jnp.any(jnp.abs(sym) > 32767)
-            return sym.astype(jnp.int16), ovf, sym
+            ovf = jnp.any(jnp.abs(sym) > 127)
+            return sym.astype(jnp.int8), ovf, sym
 
         @jax.jit
         def z_dequant(v, sym):
@@ -186,11 +190,14 @@ class CharmCodec:
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def quantize_slice(v, i, y_slice, mu):
-            """Encoder-side rounding; int16 on the wire with an overflow
-            flag (bypass escapes can exceed int16 — re-fetch int32 then)."""
+            """Encoder-side rounding; int8 on the wire (halves the
+            device->host payload vs int16 — the batched fetch transfer
+            is 76% of encode time on remote hosts, tools/
+            profile_encode.py) with an overflow flag: bypass escapes can
+            exceed int8, re-fetch exact int32 for that slice then."""
             sym = jnp.round(y_slice - mu).astype(jnp.int32)
-            ovf = jnp.any(jnp.abs(sym) > 32767)
-            return sym.astype(jnp.int16), ovf, sym
+            ovf = jnp.any(jnp.abs(sym) > 127)
+            return sym.astype(jnp.int8), ovf, sym
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def step(v, i, state, decoded, sym, mu, mean_support):
@@ -390,7 +397,7 @@ class CharmCodec:
         z_sym_h, z_ovf_h, sym_h, ovf_h, idx_h = jax.device_get(
             (z16, z_ovf, pend["sym16s"], pend["ovfs"], pend["idxs"])
         )
-        if bool(z_ovf_h):  # rare: bypass symbol beyond int16 — exact refetch
+        if bool(z_ovf_h):  # rare: bypass symbol beyond int8 — exact refetch
             z_sym_h = jax.device_get(z_sym)
         for i, o in enumerate(ovf_h):
             if bool(o):
