@@ -41,7 +41,7 @@ def main(argv=None):
         "stf5-8, ...). Default cnn = flagship WACNN.",
     )
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=32)
     args = p.parse_args(argv)
     size = args.size
     batch = args.batch
@@ -64,40 +64,62 @@ def main(argv=None):
     )
     jax.block_until_ready(variables)
 
-    # secondary: jitted eval forward throughput (30 iters so device
-    # compute, not dispatch latency over the tunnel, dominates)
-    def measure_fwd(fn, iters=30):
-        out = fn(variables["params"], x)
-        jax.block_until_ready(out["x_hat"])
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn(variables["params"], x)
-        jax.block_until_ready(out["x_hat"])
-        return batch * iters / (time.time() - t0)
+    # secondary: jitted eval forward throughput, measured as a SERIAL
+    # chain (iteration i+1 consumes iteration i's x_hat) inside one
+    # lax.scan, anchored by a real device_get of a scalar reduced from
+    # the final output. BOTH anchors matter on this remote runtime:
+    # block_until_ready returns without waiting for actual execution
+    # (async python-loop timings read 98-427k img/s — physically
+    # impossible), and only fetching bytes that data-depend on the whole
+    # chain forces it to have run.
+    FWD_ITERS = 10
 
-    fwd_ips = measure_fwd(
-        jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))
-    )
+    def measure_fwd():
+        import jax.lax as lax
+
+        @jax.jit
+        def chain(p, x0):
+            def body(c, _):
+                out = model.apply({"params": p}, c, training=False)
+                nxt = jnp.clip(out["x_hat"], 0.0, 1.0).astype(c.dtype)
+                return nxt, ()
+
+            final, _ = lax.scan(body, x0, None, length=FWD_ITERS)
+            return final.sum()
+
+        float(jax.device_get(chain(variables["params"], x)))  # warm
+        t0 = time.time()
+        float(jax.device_get(chain(variables["params"], x)))
+        return batch * FWD_ITERS / (time.time() - t0)
+
+    fwd_ips = measure_fwd()
 
     # bf16 activation pipeline (transforms bf16, entropy math f32) — the
     # training-forward fast path; the coder below stays on the f32 policy
     from icm_tpu.nn import set_activation_dtype
 
     set_activation_dtype(jnp.bfloat16)
-    fwd16_ips = measure_fwd(
-        jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))
-    )
+    fwd16_ips = measure_fwd()
     set_activation_dtype(None)
 
     # symmetric stream-group pipelining: decode overlaps one group's
     # device context step with the other's host rANS + link transfers
     # (encoder uses the same grouping so the AR context shapes match
-    # bit-for-bit — see CharmCodec.decompress)
-    groups = 2 if batch >= 2 else 1
+    # bit-for-bit — see CharmCodec.decompress). The AR round-trip chain
+    # is per BATCH, not per image, so large batches amortize it: measured
+    # sweep (tools/probe_batch.py) peaks at batch 32-48 with 8 groups
+    # (17.7-18.5 img/s vs 6.6 at batch 4).
+    groups = max(1, min(8, batch // 4))
     codec = CharmCodec(model, variables)
+
+    def sync(a):
+        # block_until_ready does not actually wait on this remote
+        # runtime; fetching a data-dependent scalar does
+        return float(jax.device_get(a.sum()))
+
     enc = codec.compress(x, pipeline_groups=groups)
     dec = codec.decompress(enc["strings"], enc["shape"], pipeline_groups=groups)
-    jax.block_until_ready(dec["x_hat"])
+    sync(dec["x_hat"])
 
     # median-of-iters: the remote-TPU link adds heavy per-run variance
     iters = 5
@@ -110,7 +132,7 @@ def main(argv=None):
         dec = codec.decompress(
             enc["strings"], enc["shape"], pipeline_groups=groups
         )
-        jax.block_until_ready(dec["x_hat"])
+        sync(dec["x_hat"])
         dec_ts.append(time.time() - t0)
     t_enc = float(np.median(enc_ts))
     t_dec = float(np.median(dec_ts))
