@@ -91,7 +91,9 @@ def main(argv=None):
             t["upload_dispatch"] += time.time() - t0
         t0 = time.time()
         y_hat, x_hat = codec._assemble_synthesize(v, slices)
-        jax.block_until_ready(x_hat)
+        # data-dependent fetch: block_until_ready does not actually wait
+        # for execution on the axon remote runtime
+        float(jax.device_get(x_hat.sum()))
         t["assemble"] = time.time() - t0
         return t
 
