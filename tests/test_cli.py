@@ -326,3 +326,27 @@ def test_train_cli_bf16(image_root, tmp_path):
     finally:
         set_activation_dtype(None)
     assert os.path.exists(str(tmp_path / "bf16ck"))
+
+
+def test_eval_stf3_auto_causal():
+    """The eval CLI builds stf3/stf4 with causal=True when a real coder
+    is requested (the reference's teacher-forced context cannot be
+    decoded), and leaves the reference default for entropy estimation."""
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import parse_args, resolve_model_kwargs
+
+    from icm_tpu.models import create_model
+
+    tiny = json.dumps(dict(
+        embed_dim=8, depths=[1, 1], num_heads=[1, 2], window_size=4,
+        patch_size=2, drop_path_rate=0.0, num_slices=4, mask_win_size=2,
+        hyper_enc_widths=[16, 14, 12, 10, 8],
+        hyper_dec_widths=[10, 12, 14, 16, 16],
+    ))
+    for flags, expect_causal in [([], True), (["--entropy-estimation"], False)]:
+        args = parse_args(
+            ["image", "-d", "/tmp", "-m", "stf3", "--model-kwargs", tiny]
+            + flags
+        )
+        model = create_model(args.model, **resolve_model_kwargs(args))
+        assert bool(getattr(model, "causal", False)) is expect_causal

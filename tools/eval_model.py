@@ -60,12 +60,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_model_and_params(args, example):
-    import jax
-
-    from icm_tpu.models import create_model
-    from icm_tpu.train import load_checkpoint
-
+def resolve_model_kwargs(args) -> dict:
     kwargs = model_kwargs(args)
     if (
         args.model in ("stf3", "stf4")
@@ -75,7 +70,16 @@ def load_model_and_params(args, example):
         # the real coder needs the causal context variant (same params;
         # the reference's teacher-forced context is not decodable)
         kwargs["causal"] = True
-    model = create_model(args.model, **kwargs)
+    return kwargs
+
+
+def load_model_and_params(args, example):
+    import jax
+
+    from icm_tpu.models import create_model
+    from icm_tpu.train import load_checkpoint
+
+    model = create_model(args.model, **resolve_model_kwargs(args))
     rngs = {
         "params": jax.random.PRNGKey(args.seed),
         "noise": jax.random.PRNGKey(1),
