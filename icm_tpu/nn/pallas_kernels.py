@@ -82,13 +82,16 @@ def _fused_fwd(q, k, v, bias, cls_idx, tile, interpret):
 
 def _fused_bwd(tile, interpret, res, g):
     q, k, v, bias, cls_idx = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_: window_attention_reference(
-            q_, k_, v_, b_, cls_idx
-        ),
-        q, k, v, bias,
+    ref = lambda q_, k_, v_, b_: window_attention_reference(  # noqa: E731
+        q_, k_, v_, b_, cls_idx
     )
-    dq, dk, dv, dbias = vjp(g)
+    _, vjp = jax.vjp(ref, q, k, v, bias)
+    # under a bf16 activation policy the kernel's output (and thus the
+    # incoming cotangent) is bf16, while the reference path promotes to
+    # f32 through the bias add — align the cotangent dtype with the
+    # reference output before pulling it back
+    out_aval = jax.eval_shape(ref, q, k, v, bias)
+    dq, dk, dv, dbias = vjp(g.astype(out_aval.dtype))
     dcls = np.zeros(cls_idx.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dbias, dcls
 

@@ -88,3 +88,26 @@ def test_fused_gradients_match_reference():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_gradients_bf16_policy():
+    """Training with the bf16 activation policy must differentiate
+    through the fused kernel (the cotangent arrives bf16 while the
+    reference path promotes to f32 — the VJP aligns dtypes)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    W, H, N, D, n_cls = 4, 2, 16, 8, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(W, H, N, D)), jnp.bfloat16)
+               for _ in range(3))
+    bias = jnp.asarray(rng.normal(size=(n_cls, H, N, N)), jnp.float32)
+    cls_idx = jnp.asarray(rng.integers(0, n_cls, W), jnp.int32)
+
+    def loss(q, k, v, bias):
+        out = window_attention_fused(q, k, v, bias, cls_idx, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, inp in zip(g, (q, k, v, bias)):
+        assert a.dtype == inp.dtype
+        assert np.isfinite(np.asarray(a, np.float32)).all()
