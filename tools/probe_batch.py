@@ -1,3 +1,4 @@
+"""Sweep codec batch size / stream groups at 512px - shows the AR round-trip chain amortizing per batch (evidence for the bench batch-32 default)."""
 import sys, os, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np

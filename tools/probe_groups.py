@@ -1,3 +1,4 @@
+"""Sweep pipeline_groups for the flagship codec at 512px batch 4 (TPU measurement evidence for BASELINE.md)."""
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, json, jax, jax.numpy as jnp
 from icm_tpu.models import CharmCodec, WACNN

@@ -1,3 +1,4 @@
+"""Head-to-head: threaded stream groups vs the explicit round-robin decode (evidence for the pipelining design choice)."""
 import sys, os, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
