@@ -225,6 +225,19 @@ class CharmCodec:
             x_hat = mdl.apply(v, y_hat, method=mdl.synthesize)
             return y_hat, jnp.clip(x_hat, 0.0, 1.0)
 
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def step_assemble(v, i, decoded, sym, mu, mean_support):
+            """Last AR slice fused with assemble+synthesize: one device
+            program instead of two (per-program overhead is a measured
+            cost on remote runtimes). Used by BOTH coder sides for the
+            final slice, so the last y_hat stays bit-identical too."""
+            y_hat = sym.astype(mu.dtype) + mu
+            lrp = mdl.apply(v, i, mean_support, y_hat, method=mdl.slice_lrp)
+            slices = list(decoded) + [y_hat + lrp]
+            yh = mdl.apply(v, slices, method=mdl.ctx_assemble)
+            xh = mdl.apply(v, yh, method=mdl.synthesize)
+            return yh, jnp.clip(xh, 0.0, 1.0)
+
         self._analyze = analyze
         self._z_symbols = z_symbols
         self._z_dequant = z_dequant
@@ -235,6 +248,7 @@ class CharmCodec:
         self._slice_decode = slice_decode
         self._quantize_slice = quantize_slice
         self._step = step
+        self._step_assemble = step_assemble
         self._assemble_synthesize = assemble_synthesize
 
     # --- layout helpers ------------------------------------------------------
@@ -357,20 +371,26 @@ class CharmCodec:
         y_hat_slices: List[jax.Array] = []
         sym16s, ovfs, sym32s, idxs = [], [], [], []
         mu, _, index, mean_support = self._slice_context(v, 0, state, [])
+        last_args = None
         for i in range(self.model.ctx_slices):
             sym16, ovf, sym32 = self._quantize_slice(v, i, y_slices[i], mu)
-            # step consumes the exact device-side int32 symbols (sym16 is
-            # only the wire format; it wraps on the rare bypass overflow)
-            out = self._step(
-                v, i, state, y_hat_slices, sym32, mu, mean_support
-            )
             sym16s.append(sym16)
             ovfs.append(ovf)
             sym32s.append(sym32)
             idxs.append(index)
-            y_hat_slices.append(out[0])
-            if len(out) > 1:
+            if i + 1 < self.model.ctx_slices:
+                # step consumes the exact device-side int32 symbols
+                # (sym16 is only the wire format; it wraps on the rare
+                # bypass overflow)
+                out = self._step(
+                    v, i, state, y_hat_slices, sym32, mu, mean_support
+                )
+                y_hat_slices.append(out[0])
                 mu, index, mean_support = out[1], out[2], out[3]
+            else:
+                # the last slice's reconstruction is only needed for the
+                # debug assemble — defer it to the fused final program
+                last_args = (sym32, mu, mean_support)
 
         for a in (z16, z_ovf, *sym16s, *ovfs, *idxs):
             try:  # start the device->host copies behind the device queue
@@ -380,7 +400,7 @@ class CharmCodec:
         return dict(
             z16=z16, z_ovf=z_ovf, z_sym=z_sym, sym16s=sym16s, ovfs=ovfs,
             sym32s=sym32s, idxs=idxs, y_hat_slices=y_hat_slices,
-            z_hat=z_hat, shape=(zh, zw),
+            last_args=last_args, z_hat=z_hat, shape=(zh, zw),
         )
 
     def _compress_finish(
@@ -413,7 +433,10 @@ class CharmCodec:
         )
         out = {"strings": [y_strings, z_strings], "shape": (zh, zw)}
         if return_debug:
-            y_hat, x_hat = self._assemble_synthesize(v, pend["y_hat_slices"])
+            y_hat, x_hat = self._step_assemble(
+                v, self.model.ctx_slices - 1, pend["y_hat_slices"],
+                *pend["last_args"],
+            )
             out["y_hat"] = y_hat
             out["z_hat"] = pend["z_hat"]
         return out
@@ -457,7 +480,8 @@ class CharmCodec:
 
         y_hat_slices: List[jax.Array] = []
         mu, _, index, mean_support = self._slice_context(v, 0, state, [])
-        for i in range(self.model.ctx_slices):
+        S = self.model.ctx_slices
+        for i in range(S):
             idx_np = np.asarray(jax.device_get(index))
             _, sh, sw, sc = idx_np.shape
             sym = decoder.decode_stream(
@@ -465,15 +489,19 @@ class CharmCodec:
                 gt.offset, lut=lut,
             )
             sym = self._unflat(sym, sh, sw, sc)
-            out = self._step(
-                v, i, state, y_hat_slices,
-                _put_symbols(sym, self.data_sharding), mu, mean_support,
-            )
-            y_hat_slices.append(out[0])
-            if len(out) > 1:
+            dev_sym = _put_symbols(sym, self.data_sharding)
+            if i + 1 < S:
+                out = self._step(
+                    v, i, state, y_hat_slices, dev_sym, mu, mean_support
+                )
+                y_hat_slices.append(out[0])
                 mu, index, mean_support = out[1], out[2], out[3]
-
-        y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
+            else:
+                # last slice fused with assemble+synthesize (same program
+                # as the encoder's debug path -> bit-identical y_hat)
+                y_hat, x_hat = self._step_assemble(
+                    v, i, y_hat_slices, dev_sym, mu, mean_support
+                )
         return {"x_hat": x_hat, "y_hat": y_hat}
 
     def _decompress_pipelined(self, groups, shape) -> List[Dict[str, Any]]:
