@@ -367,7 +367,6 @@ class CharmCodec:
         state = self._ctx_prepare(v, z_hat)
         y_slices = self._latent_slices(v, y)
 
-        gt = self.tables.gaussian
         y_hat_slices: List[jax.Array] = []
         sym16s, ovfs, sym32s, idxs = [], [], [], []
         mu, _, index, mean_support = self._slice_context(v, 0, state, [])

@@ -28,7 +28,7 @@ Behavioral parity:
 
 Task nets are constructed inside the model (like the reference) but can be
 disabled with ``with_task_net=False`` for codec-only training/eval; frozen
-weights come from ``icm_tpu/tasks/weights.py`` converters.
+weights come from ``icm_tpu/utils/torch_weights.py`` converters.
 """
 
 from __future__ import annotations

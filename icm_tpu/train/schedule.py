@@ -9,30 +9,46 @@ from __future__ import annotations
 
 
 class ReduceLROnPlateau:
+    """Torch-semantics plateau scheduler (mode='min', threshold_mode='rel'):
+    an epoch is an improvement only if ``metric < best * (1 - threshold)``;
+    after ``patience`` consecutive non-improvements the lr is multiplied by
+    ``factor`` and a ``cooldown`` window suppresses the bad-epoch counter.
+    Matches torch's defaults (threshold=1e-4, cooldown=0) so resume parity
+    with reference training curves holds (reference train.py:444,506)."""
+
     def __init__(
         self,
         lr: float,
         factor: float = 0.1,
         patience: int = 10,
         min_lr: float = 0.0,
+        threshold: float = 1e-4,
+        cooldown: int = 0,
     ):
         self.lr = float(lr)
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
+        self.cooldown = cooldown
         self.best = float("inf")
         self.bad_epochs = 0
+        self.cooldown_counter = 0
 
     def step(self, metric: float) -> float:
         """Update with the latest validation metric; returns current lr."""
-        if metric < self.best:
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad_epochs = 0
         else:
             self.bad_epochs += 1
-            if self.bad_epochs > self.patience:
-                self.lr = max(self.min_lr, self.lr * self.factor)
-                self.bad_epochs = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad_epochs = 0
+        if self.bad_epochs > self.patience:
+            self.lr = max(self.min_lr, self.lr * self.factor)
+            self.bad_epochs = 0
+            self.cooldown_counter = self.cooldown
         return self.lr
 
 
