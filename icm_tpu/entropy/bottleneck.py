@@ -120,8 +120,9 @@ class EntropyBottleneck(nn.Module):
         (``entropy_models.py:446-489``) with the NCHW→(C,1,N) permutation
         replaced by a channel-last reshape/transpose.
         """
-        x = x.astype(jnp.float32)  # entropy math stays f32 under any
-        # activation-dtype policy (see nn.set_activation_dtype)
+        # entropy math stays at least f32 under any activation-dtype
+        # policy (promote, don't downcast — f64 parity runs stay f64)
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         in_shape = x.shape
         C = in_shape[-1]
         assert C == self.channels, (C, self.channels)

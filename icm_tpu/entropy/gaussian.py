@@ -61,11 +61,13 @@ class GaussianConditional(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, scales, means=None, training: bool = True):
-        # entropy math stays f32 under any activation-dtype policy
-        inputs = inputs.astype(jnp.float32)
-        scales = scales.astype(jnp.float32)
+        # entropy math stays at least f32 under any activation-dtype
+        # policy (promote, don't downcast — f64 parity runs stay f64)
+        dt = jnp.promote_types(inputs.dtype, jnp.float32)
+        inputs = inputs.astype(dt)
+        scales = scales.astype(dt)
         if means is not None:
-            means = means.astype(jnp.float32)
+            means = means.astype(dt)
         if training:
             outputs = quantize(inputs, "noise", rng=self.make_rng("noise"))
         else:

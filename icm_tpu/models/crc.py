@@ -69,7 +69,7 @@ class _ConvStack(nn.Module):
     def __call__(self, x):
         for i in range(self.depth):
             if i > 0:
-                x = jax.nn.gelu(x)
+                x = jax.nn.gelu(x, approximate=False)
             x = conv(self.width, kernel_size=3, stride=1)(x)
         return x
 
@@ -83,9 +83,9 @@ class _DeconvHyperDec(nn.Module):
     @nn.compact
     def __call__(self, z):
         z = conv3x3(self.widths[0])(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = deconv(self.widths[1], 3, 2)(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         return deconv(self.widths[2], 3, 2)(z)
 
 
@@ -176,7 +176,7 @@ class _HumanEncoder(nn.Module):
                         (self.M, True)):
             h = conv(w, kernel_size=5, stride=2)(h)
             if not last:
-                h = jax.nn.gelu(h)
+                h = jax.nn.gelu(h, approximate=False)
         return h
 
 
@@ -192,7 +192,7 @@ class _HumanDecoder(nn.Module):
                         (self.out_ch, True)):
             d = deconv(w, 5, 2)(d)
             if not last:
-                d = jax.nn.gelu(d)
+                d = jax.nn.gelu(d, approximate=False)
         return d
 
 
@@ -369,7 +369,7 @@ class _StrideConvPair(nn.Module):
     @nn.compact
     def __call__(self, h):
         h = conv(self.N, kernel_size=self.kernel, stride=2)(h)
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)
         return conv(self.N, kernel_size=self.kernel, stride=2)(h)
 
 
@@ -384,9 +384,9 @@ class _EncTail(nn.Module):
     @nn.compact
     def __call__(self, h):
         h = conv(self.N, kernel_size=5, stride=2)(h)
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)
         h = conv(self.M, kernel_size=5, stride=2)(h)
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)
         if self.with_attn:
             h = Win_noShift_Attention(
                 self.M, num_heads=8, window_size=4, shift_size=2
@@ -405,9 +405,9 @@ class _DecHead(nn.Module):
         d = Win_noShift_Attention(
             2 * self.M, num_heads=8, window_size=4, shift_size=2
         )(d)
-        d = jax.nn.gelu(d)
+        d = jax.nn.gelu(d, approximate=False)
         d = deconv(self.N, 3, 2)(d)
-        d = jax.nn.gelu(d)
+        d = jax.nn.gelu(d, approximate=False)
         return deconv(self.N, 3, 2)(d)
 
 
@@ -420,9 +420,9 @@ class _DecTail(nn.Module):
     @nn.compact
     def __call__(self, d):
         d = deconv(self.N, 3, 2)(d)
-        d = jax.nn.gelu(d)
+        d = jax.nn.gelu(d, approximate=False)
         d = conv(self.N, kernel_size=3, stride=1)(d)
-        d = jax.nn.gelu(d)
+        d = jax.nn.gelu(d, approximate=False)
         return deconv(self.out_ch, 3, 2)(d)
 
 
@@ -436,11 +436,11 @@ class _SubpelContext(nn.Module):
     @nn.compact
     def __call__(self, y_hat):
         c = conv(self.M, kernel_size=3, stride=1)(y_hat)
-        c = jax.nn.gelu(c)
+        c = jax.nn.gelu(c, approximate=False)
         c = conv(self.M, kernel_size=3, stride=1)(c)
-        c = jax.nn.gelu(c)
+        c = jax.nn.gelu(c, approximate=False)
         c = SubpelConv(self.N, r=2)(c)
-        c = jax.nn.gelu(c)
+        c = jax.nn.gelu(c, approximate=False)
         return SubpelConv(self.N, r=2)(c)
 
 
@@ -549,7 +549,7 @@ class _DeconvPair(nn.Module):
     @nn.compact
     def __call__(self, d):
         d = deconv(self.N, 3, 2)(d)
-        d = jax.nn.gelu(d)
+        d = jax.nn.gelu(d, approximate=False)
         return deconv(self.N, 3, 2)(d)
 
 
@@ -562,9 +562,9 @@ class _DeconvContext(nn.Module):
     @nn.compact
     def __call__(self, y_hat):
         c = conv(self.N, kernel_size=3, stride=1)(y_hat)
-        c = jax.nn.gelu(c)
+        c = jax.nn.gelu(c, approximate=False)
         c = deconv(self.N, 3, 2)(c)
-        c = jax.nn.gelu(c)
+        c = jax.nn.gelu(c, approximate=False)
         return deconv(self.N, 3, 2)(c)
 
 
@@ -578,7 +578,7 @@ class _MaskNet(nn.Module):
     def __call__(self, h):
         for i, w in enumerate(self.widths):
             if i > 0:
-                h = jax.nn.gelu(h)
+                h = jax.nn.gelu(h, approximate=False)
             h = conv3x3(w)(h)
         return jax.nn.softmax(h, axis=-1)
 

@@ -289,9 +289,9 @@ class _PromptAnalysis(nn.Module):
     def __call__(self, p):
         for _ in range(3):
             p = conv(self.N, 5, 2)(p)
-            p = jax.nn.gelu(p)
+            p = jax.nn.gelu(p, approximate=False)
         p = conv(self.M, 5, 2)(p)
-        p = jax.nn.gelu(p)
+        p = jax.nn.gelu(p, approximate=False)
         return Win_noShift_Attention(
             self.M, num_heads=8, window_size=4, shift_size=2
         )(p)
@@ -328,9 +328,9 @@ class _PromptSynthesis(nn.Module):
         pp = Win_noShift_Attention(
             self.M, num_heads=8, window_size=4, shift_size=2
         )(y_hat)
-        pp = jax.nn.gelu(pp)
+        pp = jax.nn.gelu(pp, approximate=False)
         pp = deconv(self.N, 5, 2)(pp)
-        pp = jax.nn.gelu(pp)
+        pp = jax.nn.gelu(pp, approximate=False)
         return deconv(self.N, 5, 2)(pp)
 
 

@@ -95,7 +95,7 @@ class MaskedContextModel(nn.Module):
             )
             h = nn.LayerNorm(epsilon=1e-5)(x)
             h = nn.Dense(2 * self.dim)(h)
-            h = jax.nn.gelu(h)
+            h = jax.nn.gelu(h, approximate=False)
             x = x + nn.Dense(self.dim)(h)
         return x
 
@@ -111,7 +111,7 @@ class _GlobalLRP(nn.Module):
         M = self.latent_dim
         for w in (2 * M, M, M):
             x = conv(w, kernel_size=3, stride=1)(x)
-            x = jax.nn.gelu(x)
+            x = jax.nn.gelu(x, approximate=False)
         return conv(M, kernel_size=3, stride=1)(x)
 
 
@@ -439,7 +439,7 @@ class _ConvHead(nn.Module):
         for i, w in enumerate(self.widths):
             h = conv(w, kernel_size=3, stride=1)(h)
             if i < len(self.widths) - 1:
-                h = jax.nn.gelu(h)
+                h = jax.nn.gelu(h, approximate=False)
         return h
 
 

@@ -95,7 +95,7 @@ class _HyperEncoderSTF(nn.Module):
         strides = (1, 1, 2, 1, 2)
         for i, (w, s) in enumerate(zip(self.widths, strides)):
             if i > 0:
-                y = jax.nn.gelu(y)
+                y = jax.nn.gelu(y, approximate=False)
             y = conv3x3(w, stride=s)(y)
         return y
 
@@ -107,13 +107,13 @@ class _HyperDecoderSTF(nn.Module):
     def __call__(self, z):
         w = self.widths
         z = conv3x3(w[0])(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = SubpelConv(w[1], r=2)(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = conv3x3(w[2])(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = SubpelConv(w[3], r=2)(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = conv3x3(w[4])(z)
         return z
 

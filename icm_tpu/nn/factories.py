@@ -143,7 +143,7 @@ class HyperEncoder384(nn.Module):
         strides = (1, 1, 2, 1, 2)
         for i, (w, s) in enumerate(zip(self.widths, strides)):
             if i > 0:
-                y = jax.nn.gelu(y)
+                y = jax.nn.gelu(y, approximate=False)
             y = conv3x3(w, stride=s)(y)
         return y
 
@@ -160,16 +160,16 @@ class HyperMean384(nn.Module):
     def __call__(self, z):
         w = self.widths
         z = conv3x3(w[0])(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = SubpelConv(w[1], r=2)(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = conv3x3(w[2])(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = SubpelConv(w[3], r=2)(z)
-        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(z, approximate=False)
         z = conv3x3(w[4])(z)
         for _ in range(self.extra_convs):
-            z = jax.nn.gelu(z)
+            z = jax.nn.gelu(z, approximate=False)
             z = conv(w[4], kernel_size=3, stride=1)(z)
         return z
 
@@ -185,5 +185,5 @@ class ShallowCC(nn.Module):
     def __call__(self, x):
         for ch in self.widths:
             x = conv(ch, kernel_size=3, stride=1)(x)
-            x = jax.nn.gelu(x)
+            x = jax.nn.gelu(x, approximate=False)
         return conv(self.out_ch, kernel_size=3, stride=1)(x)

@@ -263,9 +263,9 @@ class WindowAttention(nn.Module):
                 mask, attn.dtype
             )[None, :, None]
             attn = attn.reshape(B_, nh, N, N)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
-            v.dtype
-        )
+        attn = jax.nn.softmax(
+            attn.astype(jnp.promote_types(attn.dtype, jnp.float32)), axis=-1
+        ).astype(v.dtype)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
@@ -319,11 +319,11 @@ class ResidualUnit(nn.Module):
     def __call__(self, x):
         N = self.dim
         out = conv1x1(N // 2)(x)
-        out = jax.nn.gelu(out)
+        out = jax.nn.gelu(out, approximate=False)
         out = conv3x3(N // 2)(out)
-        out = jax.nn.gelu(out)
+        out = jax.nn.gelu(out, approximate=False)
         out = conv1x1(N)(out)
-        return jax.nn.gelu(out + x)
+        return jax.nn.gelu(out + x, approximate=False)
 
 
 class Win_noShift_Attention(nn.Module):

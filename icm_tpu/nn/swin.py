@@ -54,7 +54,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=activation_dtype())(x)
-        x = jax.nn.gelu(x)
+        x = jax.nn.gelu(x, approximate=False)
         return nn.Dense(self.out, dtype=activation_dtype())(x)
 
 
