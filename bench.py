@@ -21,6 +21,82 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from icm_tpu.utils.roofline import RooflineReport, compiled_costs, costs_of
+
+
+class _StageCostMeter:
+    """Record every (stage, shape-signature) a codec run dispatches, then
+    price each once via lower+compile cost_analysis. Gives honest total
+    device FLOPs/HBM-bytes behind an encode or decode wall-time (the
+    wall time additionally contains host rANS + link transfers — the
+    roofline verdict makes that gap visible instead of hiding it)."""
+
+    STAGES = (
+        "_analyze", "_z_symbols", "_z_dequant", "_ctx_prepare",
+        "_latent_slices", "_slice_context", "_quantize_slice", "_step",
+        "_step_assemble", "_assemble_synthesize",
+    )
+
+    def __init__(self, codec):
+        self.codec = codec
+        self.calls = {}  # phase -> list of (fn, args)
+        self.phase = None
+        self._orig = {}
+
+    def __enter__(self):
+        for name in self.STAGES:
+            fn = getattr(self.codec, name, None)
+            if fn is None:
+                continue
+            self._orig[name] = fn
+
+            def wrapper(*args, _fn=fn, _name=name):
+                if self.phase is not None:
+                    key = (_name, tuple(
+                        (tuple(np.shape(a)), str(getattr(a, "dtype", type(a))))
+                        for a in args
+                    ))
+                    # snapshot list args: the codec APPENDS to its
+                    # y_hat_slices list after the call, and a stored
+                    # reference would alias the mutated list
+                    snap = tuple(
+                        list(a) if isinstance(a, list) else a for a in args
+                    )
+                    bucket = self.calls.setdefault(self.phase, {})
+                    bucket.setdefault(key, []).append((_fn, snap))
+                return _fn(*args)
+
+            setattr(self.codec, name, wrapper)
+        return self
+
+    def __exit__(self, *exc):
+        for name, fn in self._orig.items():
+            setattr(self.codec, name, fn)
+
+    def totals(self, phase):
+        flops = bytes_ = 0.0
+        unpriced = set()
+        priced_any = False
+        for (name, _), sig_calls in self.calls.get(phase, {}).items():
+            fn, args = sig_calls[0]
+            try:
+                c = costs_of(fn, *args)
+            except Exception:
+                c = None
+            if c is None:
+                unpriced.add(name)
+                continue
+            priced_any = True
+            n = len(sig_calls)
+            flops += c["flops"] * n
+            bytes_ += c["bytes"] * n
+        if not priced_any:
+            return None
+        out = {"flops": flops, "bytes": bytes_}
+        if unpriced:
+            out["unpriced_stages"] = sorted(unpriced)
+        return out
+
 # persistent compile cache: full-size graphs take minutes to compile over
 # the remote-TPU tunnel; caching them makes reruns start in seconds
 try:
@@ -73,8 +149,9 @@ def main(argv=None):
     # impossible), and only fetching bytes that data-depend on the whole
     # chain forces it to have run.
     FWD_ITERS = 10
+    on_tpu = jax.default_backend() not in ("cpu",)
 
-    def measure_fwd():
+    def measure_fwd(dtype_name="float32"):
         import jax.lax as lax
 
         @jax.jit
@@ -90,16 +167,24 @@ def main(argv=None):
         float(jax.device_get(chain(variables["params"], x)))  # warm
         t0 = time.time()
         float(jax.device_get(chain(variables["params"], x)))
-        return batch * FWD_ITERS / (time.time() - t0)
+        dt = time.time() - t0
+        costs = costs_of(chain, variables["params"], x)
+        roof = None
+        if costs:
+            roof = RooflineReport(
+                costs["flops"], costs["bytes"], dt,
+                dtype=dtype_name, on_tpu=on_tpu,
+            ).summary(per=batch * FWD_ITERS)
+        return batch * FWD_ITERS / dt, roof
 
-    fwd_ips = measure_fwd()
+    fwd_ips, fwd_roof = measure_fwd()
 
     # bf16 activation pipeline (transforms bf16, entropy math f32) — the
     # training-forward fast path; the coder below stays on the f32 policy
     from icm_tpu.nn import set_activation_dtype
 
     set_activation_dtype(jnp.bfloat16)
-    fwd16_ips = measure_fwd()
+    fwd16_ips, fwd16_roof = measure_fwd("bfloat16")
     set_activation_dtype(None)
 
     # symmetric stream-group pipelining: decode overlaps one group's
@@ -117,9 +202,19 @@ def main(argv=None):
         # runtime; fetching a data-dependent scalar does
         return float(jax.device_get(a.sum()))
 
-    enc = codec.compress(x, pipeline_groups=groups)
-    dec = codec.decompress(enc["strings"], enc["shape"], pipeline_groups=groups)
-    sync(dec["x_hat"])
+    # warmup run doubles as the cost census: record every device program
+    # the codec dispatches, price each via compiled cost_analysis
+    with _StageCostMeter(codec) as meter:
+        meter.phase = "enc"
+        enc = codec.compress(x, pipeline_groups=groups)
+        meter.phase = "dec"
+        dec = codec.decompress(
+            enc["strings"], enc["shape"], pipeline_groups=groups
+        )
+        sync(dec["x_hat"])
+        meter.phase = None
+    enc_costs = meter.totals("enc")
+    dec_costs = meter.totals("dec")
 
     # median-of-iters: the remote-TPU link adds heavy per-run variance
     iters = 5
@@ -151,6 +246,23 @@ def main(argv=None):
         "dec_images_per_sec": round(batch / t_dec, 2),
         "backend": jax.default_backend(),
     }
+    if fwd_roof:
+        extra["fwd_roofline"] = fwd_roof
+    if fwd16_roof:
+        extra["fwd_bf16_roofline"] = fwd16_roof
+    # codec rooflines: device math priced by the compiler; the wall time
+    # additionally holds host rANS + device<->host transfers, so low MFU
+    # here quantifies exactly how transfer/host-dominated the coder is
+    for tag, costs, secs in (
+        ("enc_roofline", enc_costs, t_enc),
+        ("dec_roofline", dec_costs, t_dec),
+    ):
+        if costs:
+            extra[tag] = RooflineReport(
+                costs["flops"], costs["bytes"], secs, on_tpu=on_tpu
+            ).summary(per=batch)
+            if costs.get("unpriced_stages"):
+                extra[tag]["unpriced_stages"] = costs["unpriced_stages"]
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_reference.json")

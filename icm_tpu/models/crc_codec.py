@@ -20,6 +20,7 @@ stage into the threaded rANS.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List
 
 import jax
@@ -917,10 +918,10 @@ class Stf2Codec:
         def token_windows(v, y, z_hat):
             return mdl.apply(v, y, z_hat, method=mdl.token_windows)
 
-        @jax.jit
-        def token_context(v, m_i, s_i, prev):
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def token_context(v, m_i, s_i, prev, first_step):
             mu, scale, ctx_sp = mdl.apply(
-                v, m_i, s_i, prev, method=mdl.token_context
+                v, m_i, s_i, prev, first_step, method=mdl.token_context
             )
             return mu, scale, build_indexes(scale, st), ctx_sp
 
@@ -936,8 +937,6 @@ class Stf2Codec:
             y_hat = sym.astype(mu.dtype) + mu
             lrp = mdl.apply(v, ctx_sp, y_hat, method=mdl.token_lrp)
             return y_hat + lrp
-
-        import functools
 
         @functools.partial(jax.jit, static_argnums=(2, 3))
         def assemble_synthesize(v, toks, lattice, out_hw):
@@ -977,10 +976,13 @@ class Stf2Codec:
         for i in range(N):
             prev = self._prev(toks, B, s, D, m_win.dtype)
             mu, scale, index, ctx_sp = self._token_context(
-                v, m_win[:, i], s_win[:, i], prev
+                v, m_win[:, i], s_win[:, i], prev, i == 0
             )
             if decoder is None:
-                y_token = y_tok[:, i].reshape(B, ws, ws, Cp)
+                # c-major token vector -> NHWC window block
+                y_token = (
+                    y_tok[:, i].reshape(B, Cp, ws, ws).transpose(0, 2, 3, 1)
+                )
                 sym, y_hat = self._token_code_enc(v, y_token, mu, ctx_sp)
                 sym_list.append(
                     np.asarray(jax.device_get(sym)).reshape(B, -1)
@@ -994,7 +996,8 @@ class Stf2Codec:
                     idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset, lut=lut
                 )
                 y_hat = self._token_code_dec(v, jnp.asarray(sym), mu, ctx_sp)
-            toks.append(y_hat.reshape(B, D))
+            # NHWC window block -> c-major token vector
+            toks.append(y_hat.transpose(0, 3, 1, 2).reshape(B, D))
         return toks, sym_list, idx_list
 
     def compress(

@@ -1,10 +1,13 @@
-"""Real bitstream coders for stf3/stf4 (causal masked-transformer context).
+"""Real bitstream coders for stf3/stf4 (masked-transformer context).
 
-The reference's stf3/stf4 context is teacher-forced UNMASKED attention
-over the full y_hat sequence (stf3.py:565-618 @ 1004-1012; stf4.py:1052)
-— no real decoder can supply future tokens, so no sound bitstream exists
-for the reference as written (SURVEY.md §2.2). These coders drive the
-``causal=True`` completion (see ClipEncoder3/ClipEncoder4 docstrings):
+stf3's reference context attention carries an internal causal block mask
+(stf3.py:196-207: hyper rows attend hyper-only, y rows lower-triangular
+with 0/-1000 additive fills) — with the teacher-forcing shift it is
+decodable as written, and this coder drives it directly (also on
+converted reference checkpoints). stf4's mask degenerates at token 0
+(all-masked row -> full attention over future tokens, stf4.py:203-206),
+so its coder requires the ``causal=True`` completion (see
+ClipEncoder3/ClipEncoder4 docstrings):
 
   - symbols are ABSOLUTE integers ``round(y)`` coded as
     ``round(y) - round(mu)`` with the zero-mean scale-table CDFs, so the
@@ -43,11 +46,20 @@ class Stf3Codec:
     (``causal=True``); strings = [y_strings, z_strings]."""
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
-        if not getattr(model, "causal", False):
+        from .masked_ctx import ClipEncoder3
+
+        # stf3's reference block mask is causal (hyper rows see hyper
+        # only; prediction row N-1+i sees y_hat[<i]) so BOTH its modes
+        # are decodable; stf4's reference mask degenerates at token 0
+        # (all-masked row -> softmax falls back to full attention over
+        # future tokens) so only its causal=True completion codes.
+        if not getattr(model, "causal", False) and not isinstance(
+            model, ClipEncoder3
+        ):
             raise ValueError(
-                "Stf3Codec needs a causal context model: build with "
-                "causal=True (the reference's default teacher-forced "
-                "context is not decodable — see ClipEncoder3 docstring)"
+                "Stf4Codec needs a causal context model: build with "
+                "causal=True (the reference stf4 mask degenerates at "
+                "token 0 — see ClipEncoder4 docstring)"
             )
         self.model = model
         self.variables = variables

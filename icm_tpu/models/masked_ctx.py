@@ -8,21 +8,29 @@ Behavioral parity:
     tokens] concatenated along the sequence; 5 attention+MLP blocks
     (``maskedContextModel``, stf3.py:565-618); outputs shifted by one
     (``[N-1:-1]``) decode to mu/scale; a single global LRP conv stack on
-    cat(y_hat, means, scales) (stf3.py:1124-1127). (The reference feeds
+    cat(y_hat, means, scales) (stf3.py:1124-1127). The reference feeds
     the mu context from ``latent_scales`` and vice versa via swapped
-    variable names, stf3.py:995-996 — symmetric under training; this
-    rebuild uses the straightforward pairing.)
-  - stf4 ``ClipEncoder4`` (reference stf4.py:582-1379): masked
-    transformer output + causal sliding windows of 27 (=3^3) previous
-    context tokens and 27 hyper tokens, fused by shared conv heads into
-    mu/scale in one shot (stf4.py:1052-1086). (The reference computes
-    scale with ``cc_mean_transforms`` — stf4.py:1082, a slip; the scale
-    head is used here.)
+    variable names (stf3.py:995-996) — reproduced exactly, so converted
+    reference-trained checkpoints keep their semantics.
+  - stf4 ``ClipEncoder4`` (reference stf4.py:582-1379): strict-causal
+    (``-1000``-fill additive mask) transformer output + causal sliding
+    windows of 27 (=3^3) previous context tokens and 27 hyper tokens,
+    fused by a conv head into mu/scale in one shot (stf4.py:1052-1086).
+    The reference computes BOTH mu and scale with ``cc_mean_transforms``
+    (stf4.py:1082; ``cc_scale_transforms`` is dead) and swaps the
+    mean/scale hyper sources at ZigzagSplits (stf4.py:1037-1038) —
+    both reproduced exactly for checkpoint fidelity; the dead scale
+    head is materialized init-only so converted trees stay equal.
   - stf2 ``ClipEncoder`` (reference stf2.py:559-1465): autoregressive
     window-token coding: per step, un-masked self-attention
     (``Mask3dAttention`` — qkv + softmax only, stf2.py:129-213) over
     [num_sliding hyper tokens, num_sliding previously-decoded tokens]
     produces the context; conv heads map it to mu/scale; LRP per token.
+    Reference quirks reproduced: the mu context consumes
+    ``latent_scales``-derived windows and vice versa (swapped names,
+    stf2.py:1048-1049), and step 0 concatenates [y-history(zeros),
+    hyper] while later steps use [hyper, y-history]
+    (stf2.py:1085-1089 vs 1131-1133).
 
 All tokens are NHWC window blocks; zigzag orders are the static index
 maps from ``icm_tpu/scan``; the stf4 sliding windows are a single static
@@ -61,11 +69,15 @@ class PlainAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        """``mask``: optional (N, N) bool, True = key visible to query.
-        Masked logits are set to -inf, so masked softmax weights are
+        """``mask``: optional (N, N). Bool: True = key visible to query;
+        masked logits are set to -inf, so masked softmax weights are
         EXACTLY 0.0 and outputs are bit-independent of masked key/value
         contents — the invariant the causal coder relies on (decoder
-        re-runs this on a zero-padded future and gets identical rows)."""
+        re-runs this on a zero-padded future and gets identical rows).
+        Float: ADDED to the logits — reproduces the reference stf4 mask
+        semantics (``-1000`` fills, stf4.py:203-206), where a row whose
+        keys are ALL masked degenerates to uniform attention instead of
+        propagating -inf."""
         B, N, C = x.shape
         nh = self.num_heads
         hd = C // nh
@@ -74,7 +86,10 @@ class PlainAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         logits = jnp.einsum("bhnd,bhmd->bhnm", q * hd ** -0.5, k)
         if mask is not None:
-            logits = jnp.where(mask[None, None], logits, -jnp.inf)
+            if mask.dtype == jnp.bool_:
+                logits = jnp.where(mask[None, None], logits, -jnp.inf)
+            else:
+                logits = logits + mask[None, None]
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         return out.transpose(0, 2, 1, 3).reshape(B, N, C)
@@ -171,13 +186,22 @@ class _MaskedBase(CompressionModel):
         return zigzag_split(t, self.num_slices, nH, nW, True)
 
     def _tokens_flat(self, zz):
+        """Flatten window blocks to token vectors in the REFERENCE's
+        element order: channel-major (c, h, w) — reference ZigzagSplits
+        reads ``x_slices[:, C_index, :, H_index, :, W_index, :]`` as
+        (B, C', ws, ws) and row-major flattens it (stf3.py:871), so every
+        converted qkv/LayerNorm/Mlp weight indexes tokens in that order."""
         B, N, h, w, c = zz.shape
-        return zz.reshape(B, N, h * w * c)
+        return zz.transpose(0, 1, 4, 2, 3).reshape(B, N, c * h * w)
 
     def _unflatten(self, tokens, nH, nW):
+        """Token vectors (c-major) back to NHWC window blocks (the
+        reference's view(B, N, C', ws, ws), stf3.py:1008-1011)."""
         B, N, D = tokens.shape
         ws = self.mask_win_size
-        return tokens.reshape(B, N, ws, ws, self.slice_ch)
+        return tokens.reshape(B, N, self.slice_ch, ws, ws).transpose(
+            0, 1, 3, 4, 2
+        )
 
     def _merge(self, zz, nH, nW):
         return zigzag_merge(zz, self.num_slices, nH, nW, True)
@@ -191,17 +215,20 @@ class _MaskedBase(CompressionModel):
 
 
 class ClipEncoder3(_MaskedBase):
-    """stf3: one-shot teacher-forced masked transformer context.
+    """stf3: one-shot masked transformer context.
 
-    ``causal=False`` (default) reproduces the reference exactly — the
-    context attention sees the FULL y_hat sequence (unmasked,
-    stf3.py:565-618 applied at 1004-1012), which no real decoder can
-    provide, so that mode has no sound bitstream. ``causal=True`` adds a
-    standard lower-triangular mask over the [hyper tokens | y_hat tokens]
-    sequence: with the teacher-forcing shift (output N-1+i predicts token
-    i), query N-1+i then sees all N hyper tokens and exactly the y_hat
-    tokens j < i — the decodable completion of the reference design,
-    driven by ``masked_codec.Stf3Codec``."""
+    ``causal=False`` (default) reproduces the reference exactly: stf3's
+    ``Mask3dAttention`` carries an INTERNAL additive block mask
+    (stf3.py:196-207, 0/-1000 fills) over the [N hyper | N y_hat]
+    sequence — hyper rows attend to hyper rows only, and y row N+i
+    attends to all hyper plus y rows <= N+i. With the teacher-forcing
+    shift (output row N-1+i predicts token i), prediction i therefore
+    sees exactly the decoded prefix y_hat[<i] — the reference context IS
+    causal and decodable (``-1000`` fills underflow to exact 0.0 softmax
+    weights in f32), and ``masked_codec.Stf3Codec`` drives it directly.
+    ``causal=True`` swaps in a plain boolean lower-triangular mask over
+    the full 2N sequence (an equally decodable variant kept for models
+    trained in this framework)."""
 
     # reference stf3 constructor defaults (stf3.py:630-631):
     # Mask_win_size=4, num_slices=8 -> token dim 16*48 = 768
@@ -215,10 +242,17 @@ class ClipEncoder3(_MaskedBase):
         self.ctx_sigma = MaskedContextModel(D, name="maskedContextModel_sigma")
         self.lrp = _GlobalLRP(self.latent_dim)
 
-    def _ctx_mask(self, N: int):
-        if not self.causal:
-            return None
-        return jnp.tril(jnp.ones((2 * N, 2 * N), bool))
+    def _ctx_mask(self, N: int, dtype=jnp.float32):
+        if self.causal:
+            return jnp.tril(jnp.ones((2 * N, 2 * N), bool))
+        # the reference Mask3dAttention's internal block mask
+        # (stf3.py:196-207): hyper rows (0..N-1) see hyper cols only;
+        # y row N+i sees cols <= N+i (tril diagonal=N); 0/-1000 additive
+        L = 2 * N
+        vis = np.zeros((L, L), bool)
+        vis[:N, :N] = True
+        vis[N:] = np.tril(np.ones((N, L), bool), N)
+        return jnp.asarray(np.where(vis, 0.0, -1000.0), dtype)
 
     def __call__(self, x, training: bool = True):
         ws = self.mask_win_size
@@ -236,11 +270,15 @@ class ClipEncoder3(_MaskedBase):
         N = y_tok.shape[1]
 
         mask = self._ctx_mask(N)
+        # reference wiring feeds the mu context from the SCALE hyper
+        # tokens and vice versa (swapped variable names, stf3.py:995-996);
+        # reproduced exactly so converted reference-trained checkpoints
+        # keep their semantics
         mu_seq = self.ctx_mu(
-            jnp.concatenate([m_tok, y_tok], axis=1), mask=mask
+            jnp.concatenate([s_tok, y_tok], axis=1), mask=mask
         )
         sc_seq = self.ctx_sigma(
-            jnp.concatenate([s_tok, y_tok], axis=1), mask=mask
+            jnp.concatenate([m_tok, y_tok], axis=1), mask=mask
         )
         # teacher-forced shift: output N-1+i predicts slice i (stf3.py:1004)
         mu = self._merge(self._unflatten(mu_seq[:, N - 1 : -1], nH, nW), nH, nW)
@@ -285,15 +323,19 @@ class ClipEncoder3(_MaskedBase):
     def causal_mu_scale(self, m_tok, s_tok, y_buf):
         """Full causal context pass; rows already teacher-shift-aligned:
         row i of the result predicts token i. Bit-independent of y_buf
-        rows >= the row being read (exact -inf masking), so the decoder
+        rows >= the row being read (bool mode masks with exact -inf; the
+        reference's additive -1000 fills underflow to exact 0.0 softmax
+        weights in f32 — same invariant), so the decoder
         re-runs this on its zero-padded prefix buffer."""
         N = y_buf.shape[1]
-        mask = jnp.tril(jnp.ones((2 * N, 2 * N), bool))
+        mask = self._ctx_mask(N, y_buf.dtype)
+        # same swapped hyper wiring as __call__ (stf3.py:995-996), so
+        # converted reference weights see the token types they trained on
         mu_seq = self.ctx_mu(
-            jnp.concatenate([m_tok, y_buf], axis=1), mask=mask
+            jnp.concatenate([s_tok, y_buf], axis=1), mask=mask
         )[:, N - 1 : -1]
         sc_seq = self.ctx_sigma(
-            jnp.concatenate([s_tok, y_buf], axis=1), mask=mask
+            jnp.concatenate([m_tok, y_buf], axis=1), mask=mask
         )[:, N - 1 : -1]
         return mu_seq, sc_seq
 
@@ -326,13 +368,17 @@ def _causal_windows(tokens, window: int, include_current: bool):
 class ClipEncoder4(_MaskedBase):
     """stf4: masked transformer + causal sliding-window conv fusion.
 
-    The sliding windows already only look backwards, but the reference's
-    context attention itself runs UNMASKED over all y_hat tokens
-    (stf4.py:1052) — not decodable. ``causal=True`` masks it
-    lower-triangularly: ctx row i then uses y_hat <= i, and the shifted
-    window (``include_current=False``) feeds only ctx rows < i into
-    token i's heads — the decodable completion (masked_codec.Stf4Codec).
-    """
+    The reference context attention applies a strict lower-triangular
+    ``-1000`` ADDITIVE mask (stf4.py:203-206): rows >= 1 are effectively
+    causal (exp(-1000) underflows to exactly 0 in f32), but row 0 — all
+    keys masked — degenerates by softmax shift-invariance to the
+    UNMASKED attention over every token, including future ones, so the
+    reference forward is not decodable at token 0. ``causal=False``
+    (default) reproduces that exactly for checkpoint fidelity;
+    ``causal=True`` swaps in an exact boolean lower-triangular mask
+    (ctx row i uses y_hat <= i, and the shifted ctx window,
+    ``include_current=False``, feeds only rows < i into token i's
+    heads) — the decodable completion (masked_codec.Stf4Codec)."""
 
     num_slices: int = 8
     mask_win_size: int = 4
@@ -350,7 +396,10 @@ class ClipEncoder4(_MaskedBase):
         Cp = self.slice_ch
         w = self.sliding
         # shared conv heads (reference stf4 cc_*_transforms widths
-        # 2*27*48 -> 27*48 -> 15*48 -> 8*48 -> 48)
+        # 2*27*48 -> 27*48 -> 15*48 -> 8*48 -> 48); the scale head is
+        # DEAD in the reference forward (stf4.py:1082 runs
+        # cc_mean_transforms on both inputs) — kept init-only below so
+        # converted state-dict trees stay exactly equal
         self.cc_mean_head = _ConvHead((w * Cp, 15 * Cp, 8 * Cp, Cp))
         self.cc_scale_head = _ConvHead((w * Cp, 15 * Cp, 8 * Cp, Cp))
         self.lrp = _GlobalLRP(self.latent_dim)
@@ -371,9 +420,15 @@ class ClipEncoder4(_MaskedBase):
         s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
         B, N, D = y_tok.shape
 
-        mask = (
-            jnp.tril(jnp.ones((N, N), bool)) if self.causal else None
-        )
+        if self.causal:
+            mask = jnp.tril(jnp.ones((N, N), bool))
+        else:
+            # the reference's strict-tril additive -1000 mask
+            # (stf4.py:203-206) incl. the row-0 full-attention degeneracy
+            mask = jnp.asarray(
+                np.where(np.tril(np.ones((N, N)), -1) > 0, 0.0, -1000.0),
+                y_tok.dtype,
+            )
         ctx = self.ctx_mu(y_tok, mask=mask)  # (B, N, D)
         mu_tok, scale_tok = self._fused_heads(ctx, m_tok, s_tok)
         mu = self._merge(mu_tok, nH, nW)
@@ -401,15 +456,31 @@ class ClipEncoder4(_MaskedBase):
         s_w = _causal_windows(s_tok, w, include_current=True)
 
         def fuse(a, b, head):
-            h = jnp.concatenate([a, b], axis=2).reshape(
-                B * N, 2 * w, ws, ws, Cp
+            # reference layout, reproduced exactly (stf4.py:1058-1080):
+            # nn.Unfold flattens each (window w, token-dim D) stack
+            # d-MAJOR (channel x kernel-pos ordering), the two halves
+            # concatenate, and the result is reinterpreted ROW-MAJOR as
+            # NCHW (2*w*Cp, ws, ws) — scrambling window offsets into the
+            # conv head's spatial dims. Converted checkpoints trained on
+            # that scramble only work if we feed the identical one.
+            ha = a.transpose(0, 1, 3, 2).reshape(B, N, D * w)
+            hb = b.transpose(0, 1, 3, 2).reshape(B, N, D * w)
+            h = jnp.concatenate([ha, hb], axis=2).reshape(
+                B * N, 2 * w * Cp, ws, ws
             )
-            h = h.transpose(0, 2, 3, 1, 4).reshape(B * N, ws, ws, 2 * w * Cp)
-            return head(h).reshape(B, N, ws, ws, Cp)
+            return head(h.transpose(0, 2, 3, 1)).reshape(B, N, ws, ws, Cp)
 
+        if self.is_initializing():
+            # dead in the reference forward (stf4.py:1082) — traced only
+            # at init so the converted cc_scale_transforms params have a
+            # home and tree equality holds, at zero apply-time cost
+            fuse(ctx_w, s_w, self.cc_scale_head)
+        # reference wiring: the mu fuse consumes the SCALE-side hyper
+        # windows and vice versa (ZigzagSplits swap, stf4.py:1037-1038),
+        # and cc_mean_transforms computes both outputs (stf4.py:1081-1082)
         return (
+            fuse(ctx_w, s_w, self.cc_mean_head),
             fuse(ctx_w, m_w, self.cc_mean_head),
-            fuse(ctx_w, s_w, self.cc_scale_head),
         )
 
     # --- coder-facing stages (masked_codec.Stf4Codec) ------------------------
@@ -426,7 +497,9 @@ class ClipEncoder4(_MaskedBase):
         mask = jnp.tril(jnp.ones((N, N), bool))
         ctx = self.ctx_mu(y_buf, mask=mask)
         mu_tok, scale_tok = self._fused_heads(ctx, m_tok, s_tok)
-        return mu_tok.reshape(B, N, D), scale_tok.reshape(B, N, D)
+        # back to c-major token vectors (layout of y_buf)
+        flat = lambda t: t.transpose(0, 1, 4, 2, 3).reshape(B, N, D)
+        return flat(mu_tok), flat(scale_tok)
 
 
 class _ConvHead(nn.Module):
@@ -476,24 +549,35 @@ class ClipEncoder(_MaskedBase):
         mp, _, _, _, _ = _pad_to_windows(means, ws)
         sp, _, _, _, _ = _pad_to_windows(scales, ws)
         y_tok = self._tokens_flat(self._window_tokens(yp, nH, nW))
-        m_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
-        s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        # reference swap: the mu-side hyper tokens come from
+        # latent_SCALES and the sigma-side from latent_MEANS
+        # (swapped variable names at stf2.py:1048-1049)
+        m_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        s_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
         B, N, D = y_tok.shape
 
         m_win = _causal_windows(m_tok, s, include_current=True)  # (B,N,s,D)
         s_win = _causal_windows(s_tok, s, include_current=True)
 
         def to_spatial(tokens):
-            # (B, k, D) -> (B, ws, ws, k*Cp)
+            # (B, k, D) c-major tokens -> (B, ws, ws, k*Cp); channel
+            # order (k, Cp) = the reference's view(B, -1, ws, ws) on the
+            # context output (stf2.py:1093-1094)
             k = tokens.shape[1]
-            h = tokens.reshape(B, k, ws, ws, Cp)
-            return h.transpose(0, 2, 3, 1, 4).reshape(B, ws, ws, k * Cp)
+            h = tokens.reshape(B, k, Cp, ws, ws)
+            return h.transpose(0, 3, 4, 1, 2).reshape(B, ws, ws, k * Cp)
 
         y_hat_toks = []
         y_liks = []
         for i in range(N):
             if i == 0:
                 prev = jnp.zeros((B, s, D), y_tok.dtype)
+                # step 0 orders [y-history(zeros), hyper]
+                # (stf2.py:1085-1089); later steps [hyper, y-history]
+                # (stf2.py:1131-1133) — the channel order the reference
+                # conv heads were trained on differs at step 0
+                ctx_mu_in = jnp.concatenate([prev, m_win[:, i]], axis=1)
+                ctx_sigma_in = jnp.concatenate([prev, s_win[:, i]], axis=1)
             else:
                 have = min(i, s)
                 stack = jnp.concatenate(
@@ -502,14 +586,16 @@ class ClipEncoder(_MaskedBase):
                 if have < s:
                     stack = jnp.pad(stack, ((0, 0), (s - have, 0), (0, 0)))
                 prev = stack
-            ctx_mu = self.mu_ctx(jnp.concatenate([m_win[:, i], prev], axis=1))
-            ctx_sigma = self.sigma_ctx(
-                jnp.concatenate([s_win[:, i], prev], axis=1)
-            )
+                ctx_mu_in = jnp.concatenate([m_win[:, i], prev], axis=1)
+                ctx_sigma_in = jnp.concatenate([s_win[:, i], prev], axis=1)
+            ctx_mu = self.mu_ctx(ctx_mu_in)
+            ctx_sigma = self.sigma_ctx(ctx_sigma_in)
             mu = self.cc_mean_head(to_spatial(ctx_mu))
             scale = self.cc_scale_head(to_spatial(ctx_sigma))
 
-            y_slice = y_tok[:, i].reshape(B, ws, ws, Cp)
+            y_slice = (
+                y_tok[:, i].reshape(B, Cp, ws, ws).transpose(0, 2, 3, 1)
+            )
             _, lik = self.gaussian_conditional(
                 y_slice, scale, mu, training=training
             )
@@ -519,10 +605,16 @@ class ClipEncoder(_MaskedBase):
             lrp_in = jnp.concatenate([to_spatial(ctx_mu), y_hat_slice], axis=-1)
             lrp = self.lrp_head(lrp_in)
             y_hat_slice = y_hat_slice + 0.5 * jnp.tanh(lrp)
-            y_hat_toks.append(y_hat_slice.reshape(B, D))
+            y_hat_toks.append(
+                y_hat_slice.transpose(0, 3, 1, 2).reshape(B, D)
+            )
 
         zz = jnp.stack(
-            [t.reshape(B, ws, ws, Cp) for t in y_hat_toks], axis=1
+            [
+                t.reshape(B, Cp, ws, ws).transpose(0, 2, 3, 1)
+                for t in y_hat_toks
+            ],
+            axis=1,
         )
         y_hat = self._merge(zz, nH, nW)
         H, W = y.shape[1:3]
@@ -551,27 +643,37 @@ class ClipEncoder(_MaskedBase):
         mp = _pad_to_windows(means, ws)[0]
         sp = _pad_to_windows(scales, ws)[0]
         y_tok = self._tokens_flat(self._window_tokens(yp, nH, nW))
-        m_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
-        s_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        # same swapped hyper wiring as __call__ (stf2.py:1048-1049)
+        m_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
+        s_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
         m_win = _causal_windows(m_tok, s, include_current=True)
         s_win = _causal_windows(s_tok, s, include_current=True)
         return y_tok, m_win, s_win, (nH, nW)
 
-    def token_context(self, m_win_i, s_win_i, prev):
+    def token_context(self, m_win_i, s_win_i, prev, first_step=False):
         """One AR step's mu/scale from the attention context (heads are
-        shared across steps, so this is step-index independent)."""
+        shared across steps). ``first_step`` reproduces the reference's
+        step-0 concat order [y-history, hyper] (stf2.py:1085-1089);
+        later steps use [hyper, y-history] (stf2.py:1131-1133)."""
         B = m_win_i.shape[0]
         ws = self.mask_win_size
         Cp = self.slice_ch
         s = self.num_sliding
 
         def to_spatial(tokens):
+            # c-major tokens; channel order (k, Cp) as in __call__
             k = tokens.shape[1]
-            h = tokens.reshape(B, k, ws, ws, Cp)
-            return h.transpose(0, 2, 3, 1, 4).reshape(B, ws, ws, k * Cp)
+            h = tokens.reshape(B, k, Cp, ws, ws)
+            return h.transpose(0, 3, 4, 1, 2).reshape(B, ws, ws, k * Cp)
 
-        ctx_mu = self.mu_ctx(jnp.concatenate([m_win_i, prev], axis=1))
-        ctx_sigma = self.sigma_ctx(jnp.concatenate([s_win_i, prev], axis=1))
+        if first_step:
+            mu_in = jnp.concatenate([prev, m_win_i], axis=1)
+            sigma_in = jnp.concatenate([prev, s_win_i], axis=1)
+        else:
+            mu_in = jnp.concatenate([m_win_i, prev], axis=1)
+            sigma_in = jnp.concatenate([s_win_i, prev], axis=1)
+        ctx_mu = self.mu_ctx(mu_in)
+        ctx_sigma = self.sigma_ctx(sigma_in)
         mu = self.cc_mean_head(to_spatial(ctx_mu))
         scale = self.cc_scale_head(to_spatial(ctx_sigma))
         return mu, scale, to_spatial(ctx_mu)
@@ -588,7 +690,11 @@ class ClipEncoder(_MaskedBase):
         nH, nW = lattice
         B = y_hat_toks[0].shape[0]
         zz = jnp.stack(
-            [t.reshape(B, ws, ws, Cp) for t in y_hat_toks], axis=1
+            [
+                t.reshape(B, Cp, ws, ws).transpose(0, 2, 3, 1)
+                for t in y_hat_toks
+            ],
+            axis=1,
         )
         y_hat = self._merge(zz, nH, nW)
         H, W = out_hw

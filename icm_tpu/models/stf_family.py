@@ -261,4 +261,8 @@ STF8_CONFIG = dict(
     num_slices=6, spatial_number=2, support_mode="sliding", max_support=12,
     mean_mode="window", mean_window=24, mu_refine=(2, 6),
     scale_refine=(2, 2), lrp_refine=(2, 6), refine_window=8,
+    # stf8's order generator drops the channel-shell constraint
+    # (stf8.py:701-705: ``max(H,W) < i`` and no ``C_index+1 > i``),
+    # unlike stf6's constrained 3-D zigzag
+    zigzag_constrained=False,
 )

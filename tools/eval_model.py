@@ -63,12 +63,14 @@ def parse_args(argv=None):
 def resolve_model_kwargs(args) -> dict:
     kwargs = model_kwargs(args)
     if (
-        args.model in ("stf3", "stf4")
+        args.model == "stf4"
         and not args.entropy_estimation
         and "causal" not in kwargs
     ):
-        # the real coder needs the causal context variant (same params;
-        # the reference's teacher-forced context is not decodable)
+        # stf4's real coder needs the causal context variant (same
+        # params; the reference stf4 mask degenerates at token 0 — see
+        # ClipEncoder4). stf3's reference mask is already causal, so its
+        # default mode codes directly.
         kwargs["causal"] = True
     return kwargs
 
