@@ -46,6 +46,9 @@ class CocoDetectionDataset:
         cats = sorted(coco["categories"], key=lambda c: c["id"])
         self.cat_id_to_label = {c["id"]: i for i, c in enumerate(cats)}
         self.label_to_cat_id = {i: c["id"] for i, c in enumerate(cats)}
+        self.class_names = {
+            i: c.get("name", str(c["id"])) for i, c in enumerate(cats)
+        }
         self.num_classes = len(cats)
 
         self.images = {im["id"]: im for im in coco["images"]}

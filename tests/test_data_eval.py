@@ -122,6 +122,51 @@ def test_compute_map_perfect_and_miss():
     assert r2["mAP"] == 0.0
 
 
+def test_compute_map_full_coco_surface():
+    """Per-class AP, area-range AP/AR and AR@k (COCOeval summary set;
+    reference analogs retinanet/coco_eval.py + csv_eval.py)."""
+    gt = {
+        0: {
+            "boxes": [[0, 0, 10, 10], [20, 20, 120, 120], [0, 0, 200, 200]],
+            "labels": [1, 2, 3],
+        },
+        1: {"boxes": [[5, 5, 25, 25]], "labels": [1]},
+    }
+    det = {
+        k: {"boxes": v["boxes"], "scores": [1.0] * len(v["labels"]),
+            "labels": v["labels"]}
+        for k, v in gt.items()
+    }
+    r = compute_map(det, gt, class_names={1: "cat", 2: "dog", 3: "bus"})
+    for key in ("mAP", "AP50", "AP75", "AR1", "AR10", "AR100"):
+        assert r[key] == 1.0, (key, r)
+    # areas: 100/400 small, 10000/40000 large, nothing medium (-1 like
+    # COCOeval's empty-bucket convention)
+    assert r["AP_small"] == 1.0 and r["AP_large"] == 1.0
+    assert r["AP_medium"] == -1.0 and r["AR_medium"] == -1.0
+    assert r["per_class_AP"] == {"cat": 1.0, "dog": 1.0, "bus": 1.0}
+
+    # one of two class-1 gts found: per-class AP ~ 0.5, AR@100 averages
+    # recalls {0.5, 0, 0} over the three classes
+    det3 = {0: {"boxes": [[0, 0, 10, 10]], "scores": [0.9], "labels": [1]}}
+    r3 = compute_map(det3, gt)
+    assert abs(r3["per_class_AP"][1] - 0.505) < 1e-2
+    assert abs(r3["AR100"] - 0.5 / 3) < 1e-6
+
+    # ignored-area matching: a det on a LARGE gt must not count as a
+    # false positive when evaluating the small bucket
+    gtp = {0: {"boxes": [[0, 0, 10, 10], [0, 0, 200, 200]], "labels": [1, 1]}}
+    detp = {
+        0: {
+            "boxes": [[0, 0, 10, 10], [0, 0, 200, 200]],
+            "scores": [0.8, 0.9],
+            "labels": [1, 1],
+        }
+    }
+    rp = compute_map(detp, gtp)
+    assert rp["AP_small"] == 1.0, rp
+
+
 def test_train_config_roundtrip():
     from icm_tpu.config import TrainConfig, ModelConfig
 

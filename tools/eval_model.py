@@ -291,9 +291,28 @@ def eval_detection(args):
         gts[iid] = {"boxes": a[:, :4] / s["scale"], "labels": a[:, 4]}
         print(f"[{i + 1}/{n}] {len(scores)} detections")
 
-    res = compute_map(dets, gts)
+    res = compute_map(dets, gts, class_names=getattr(ds, "class_names", None))
     if total_pixels:
         res["bpp"] = total_bits / total_pixels
+    # full COCOeval-style table (reference coco_eval.py summarize +
+    # csv_eval.py per-class AP)
+    for tag, label in (
+        ("mAP", "AP @[.50:.95 | all | 100]"),
+        ("AP50", "AP @[.50      | all | 100]"),
+        ("AP75", "AP @[.75      | all | 100]"),
+        ("AP_small", "AP @[.50:.95 | small]"),
+        ("AP_medium", "AP @[.50:.95 | medium]"),
+        ("AP_large", "AP @[.50:.95 | large]"),
+        ("AR1", "AR @[.50:.95 | all | 1]"),
+        ("AR10", "AR @[.50:.95 | all | 10]"),
+        ("AR100", "AR @[.50:.95 | all | 100]"),
+        ("AR_small", "AR @[.50:.95 | small]"),
+        ("AR_medium", "AR @[.50:.95 | medium]"),
+        ("AR_large", "AR @[.50:.95 | large]"),
+    ):
+        print(f"  {label:<28s} = {res[tag]:.3f}")
+    for cname, ap in sorted(res["per_class_AP"].items(), key=str):
+        print(f"  class {cname}: AP = {ap:.3f}")
     print("mAP:", json.dumps(res))
     return res
 

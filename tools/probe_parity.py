@@ -178,11 +178,18 @@ def run(arch: str, size: int, scale_bias: float = 0.5, seed: int = 1) -> dict:
     report["ref_bpp"] = bpp_from_likelihoods(ref_liks, npix)
     report["my_bpp"] = bpp_from_likelihoods(out["likelihoods"], npix)
     report["bpp_diff"] = abs(report["ref_bpp"] - report["my_bpp"])
-    # per-likelihood max diffs where shapes line up
+    # per-likelihood max diffs where shapes line up; also the FRACTION of
+    # positions with a large diff — autoregressive quantizers can flip a
+    # handful of round() boundaries on cross-framework float noise (each
+    # flip moves that element's likelihood by O(1) and perturbs every
+    # later AR step), so "max" alone can't distinguish a localized flip
+    # cascade from a wiring bug. A real wiring bug moves a large fraction.
     for k, rv in ref_liks.items():
         mv = out["likelihoods"].get(k)
         if mv is not None and np.shape(mv) == rv.shape:
-            report[f"max_dlik_{k}"] = float(np.abs(np.asarray(mv) - rv).max())
+            d = np.abs(np.asarray(mv) - rv)
+            report[f"max_dlik_{k}"] = float(d.max())
+            report[f"frac_dlik_{k}_gt_1e2"] = float((d > 1e-2).mean())
     return report
 
 
