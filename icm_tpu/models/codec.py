@@ -83,6 +83,40 @@ def _eb_indexes(shape_hw: tuple, C: int) -> np.ndarray:
     return np.tile(np.arange(C, dtype=np.int32), h * w)
 
 
+def _unpack_wire(
+    sym2: np.ndarray,
+    idx6: np.ndarray,
+    n_esc: np.ndarray,
+    esc: np.ndarray,
+    n_total: int,
+):
+    """Host-side inverse of CharmCodec._pack_streams: 2-bit symbol codes
+    + 6-bit indexes + dense escape stream -> (symbols int32 (B, N),
+    indexes int32 (B, N)). Vectorized numpy; the per-row escape fill is
+    a masked assignment (escape values appear in code order)."""
+    B = sym2.shape[0]
+    shifts = np.array([0, 2, 4, 6], np.uint8)
+    codes = (
+        (sym2[:, :, None] >> shifts[None, None, :]) & 3
+    ).reshape(B, -1)
+    symbols = codes.astype(np.int32) - 1  # 0,1,2 -> -1,0,1
+    b = idx6.reshape(B, -1, 3).astype(np.uint32)
+    word = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+    indexes = np.stack(
+        [word & 63, (word >> 6) & 63, (word >> 12) & 63, (word >> 18) & 63],
+        axis=-1,
+    ).reshape(B, -1).astype(np.int32)
+    esc_mask = codes == 3
+    for bi in range(B):
+        k = int(n_esc[bi])
+        if k:
+            symbols[bi, esc_mask[bi]] = esc[bi, :k].astype(np.int32)
+    return (
+        np.ascontiguousarray(symbols[:, :n_total]),
+        np.ascontiguousarray(indexes[:, :n_total]),
+    )
+
+
 def _put_symbols(sym: np.ndarray, sharding=None) -> jax.Array:
     """Host->device symbol transfer, narrowed to the smallest int dtype
     that fits (int8 for in-range streams; bypass escapes can exceed it).
@@ -238,6 +272,61 @@ class CharmCodec:
             xh = mdl.apply(v, yh, method=mdl.synthesize)
             return yh, jnp.clip(xh, 0.0, 1.0)
 
+        @jax.jit
+        def pack_streams(sym16s, idxs):
+            """Device-side wire compaction for the ONE batched encode
+            fetch (the fetch is the dominant encode cost on remote
+            hosts: 21.4 MB of int8 symbols+indexes produce a 4.6 MB
+            bitstream — BASELINE.md). Symbols become 2-bit codes
+            ({-1,0,1} + escape; quantized residuals concentrate at 0) and
+            scale indexes 6-bit (64 table levels), with escaped values
+            compacted into a dense int8 side stream — ~1.0 B/symbol over
+            the link instead of 2.0. The BITSTREAM is unchanged; only the
+            device->host representation is."""
+            B = sym16s[0].shape[0]
+
+            def flat(a):
+                if self.ref_layout:
+                    a = jnp.transpose(a, (0, 3, 1, 2))
+                return a.reshape(B, -1)
+
+            sym = jnp.concatenate(
+                [flat(s) for s in sym16s], axis=1
+            ).astype(jnp.int32)
+            idx = jnp.concatenate(
+                [flat(i) for i in idxs], axis=1
+            ).astype(jnp.int32)
+            pad = (-sym.shape[1]) % 4
+            if pad:
+                sym = jnp.pad(sym, ((0, 0), (0, pad)))
+                idx = jnp.pad(idx, ((0, 0), (0, pad)))
+            Np = sym.shape[1]
+            esc = (sym < -1) | (sym > 1)
+            code = jnp.where(esc, 3, sym + 1).astype(jnp.uint32)
+            c = code.reshape(B, -1, 4)
+            sym2 = (
+                c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4)
+                | (c[..., 3] << 6)
+            ).astype(jnp.uint8)
+            iv = idx.reshape(B, -1, 4).astype(jnp.uint32)
+            word = (
+                iv[..., 0] | (iv[..., 1] << 6) | (iv[..., 2] << 12)
+                | (iv[..., 3] << 18)
+            )
+            idx6 = jnp.stack(
+                [word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF],
+                axis=-1,
+            ).astype(jnp.uint8).reshape(B, -1)
+            n_esc = esc.sum(axis=1).astype(jnp.int32)
+            pos = jnp.cumsum(esc, axis=1) - 1
+            dest = jnp.where(esc, pos, Np)  # out-of-bounds -> dropped
+            esc_buf = (
+                jnp.zeros((B, Np), jnp.int8)
+                .at[jnp.arange(B)[:, None], dest]
+                .set(sym.astype(jnp.int8), mode="drop")
+            )
+            return sym2, idx6, n_esc, esc_buf
+
         self._analyze = analyze
         self._z_symbols = z_symbols
         self._z_dequant = z_dequant
@@ -250,6 +339,7 @@ class CharmCodec:
         self._step = step
         self._step_assemble = step_assemble
         self._assemble_synthesize = assemble_synthesize
+        self._pack_streams = pack_streams
 
     # --- layout helpers ------------------------------------------------------
     def _flat(self, a: np.ndarray) -> np.ndarray:
@@ -391,7 +481,8 @@ class CharmCodec:
                 # debug assemble — defer it to the fused final program
                 last_args = (sym32, mu, mean_support)
 
-        for a in (z16, z_ovf, *sym16s, *ovfs, *idxs):
+        sym2, idx6, n_esc, esc_buf = self._pack_streams(sym16s, idxs)
+        for a in (z16, z_ovf, sym2, idx6, n_esc, *ovfs):
             try:  # start the device->host copies behind the device queue
                 a.copy_to_host_async()
             except AttributeError:
@@ -400,6 +491,7 @@ class CharmCodec:
             z16=z16, z_ovf=z_ovf, z_sym=z_sym, sym16s=sym16s, ovfs=ovfs,
             sym32s=sym32s, idxs=idxs, y_hat_slices=y_hat_slices,
             last_args=last_args, z_hat=z_hat, shape=(zh, zw),
+            packed=(sym2, idx6, n_esc, esc_buf),
         )
 
     def _compress_finish(
@@ -413,20 +505,40 @@ class CharmCodec:
         sym32s = pend["sym32s"]
         zh, zw = pend["shape"]
 
-        z_sym_h, z_ovf_h, sym_h, ovf_h, idx_h = jax.device_get(
-            (z16, z_ovf, pend["sym16s"], pend["ovfs"], pend["idxs"])
+        sym2, idx6, n_esc, esc_buf = pend["packed"]
+        z_sym_h, z_ovf_h, sym2_h, idx6_h, n_esc_h, ovf_h = jax.device_get(
+            (z16, z_ovf, sym2, idx6, n_esc, pend["ovfs"])
         )
         if bool(z_ovf_h):  # rare: bypass symbol beyond int8 — exact refetch
             z_sym_h = jax.device_get(z_sym)
-        for i, o in enumerate(ovf_h):
-            if bool(o):
-                sym_h[i] = jax.device_get(sym32s[i])
 
         z_strings = self._encode_z_host(np.asarray(z_sym_h))
-        symbols = np.concatenate(
-            [self._flat(s).astype(np.int32) for s in sym_h], axis=1
+        n_total = sum(
+            int(np.prod(s.shape[1:])) for s in pend["sym16s"]
         )
-        indexes = np.concatenate([self._flat(ii) for ii in idx_h], axis=1)
+        max_esc = int(np.max(n_esc_h)) if len(n_esc_h) else 0
+        esc_h = (
+            np.asarray(jax.device_get(esc_buf[:, :max_esc]))
+            if max_esc
+            else np.zeros((sym2_h.shape[0], 0), np.int8)
+        )
+        symbols, indexes = _unpack_wire(
+            np.asarray(sym2_h), np.asarray(idx6_h), np.asarray(n_esc_h),
+            esc_h, n_total,
+        )
+        for i, o in enumerate(ovf_h):
+            if bool(o):
+                # bypass escape beyond int8 wraps the packed escape
+                # stream too — overwrite that slice's span with the exact
+                # int32 symbols
+                span = int(np.prod(pend["sym16s"][i].shape[1:]))
+                start = sum(
+                    int(np.prod(s.shape[1:])) for s in pend["sym16s"][:i]
+                )
+                exact = self._flat(jax.device_get(sym32s[i])).astype(
+                    np.int32
+                )
+                symbols[:, start : start + span] = exact
         y_strings = coding.encode_batch(
             symbols, indexes, gt.quantized_cdf, gt.cdf_length, gt.offset
         )

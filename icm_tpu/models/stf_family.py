@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +76,96 @@ class _Refiner(nn.Module):
         return x + r
 
 
+class _ZigzagScanStep(nn.Module):
+    """One AR step of the zigzag/sliding ChARM loop, run under ``nn.scan``
+    with stacked per-slice parameters (same trick as cnn._CharmScanStep:
+    supports are padded to the max width with zeros, so the scanned
+    computation equals the unrolled loop while the context compiles ONCE
+    instead of ``ctx_slices`` times — the fix for the reference family's
+    12x4 per-slice Swin refiner stacks blowing up graph size,
+    stf5.py:484-570)."""
+
+    slice_ch: int
+    cc_widths: Tuple[int, ...]
+    max_support: int
+    support_mode: str  # "prefix" | "sliding"
+    cond_mode: str  # "full" | "window"
+    mean_window: int
+    n_steps: int
+    mu_refine: Tuple[int, ...]
+    scale_refine: Tuple[int, ...]
+    lrp_refine: Tuple[int, ...]
+    refine_window: int
+    refine_heads: int
+    drop_path_rate: float
+    training: bool = True
+
+    def _refine(self, x, depths, tag):
+        if not depths:
+            return x
+        return _Refiner(
+            dim=self.slice_ch,
+            depths=tuple(depths),
+            num_heads=self.refine_heads,
+            window_size=self.refine_window,
+            drop_path_rate=self.drop_path_rate,
+            name=tag,
+        )(x, not self.training)
+
+    @nn.compact
+    def __call__(self, carry, y_slice):
+        from ..ops import ste_round
+
+        cond_m, cond_s, buf, i = carry
+        if self.cond_mode == "full":
+            cm, cs = cond_m, cond_s
+        else:
+            # window of mean/scale zigzag blocks [i, i+w) with the tail
+            # clamp (stf8.py:829-833); blocks stacked on axis 0
+            w = self.mean_window
+            start = jnp.minimum(i, self.n_steps - w)
+            cm = jax.lax.dynamic_slice_in_dim(cond_m, start, w, axis=0)
+            cs = jax.lax.dynamic_slice_in_dim(cond_s, start, w, axis=0)
+            cm = jnp.concatenate([cm[j] for j in range(w)], axis=-1)
+            cs = jnp.concatenate([cs[j] for j in range(w)], axis=-1)
+
+        mean_support = jnp.concatenate([cm, buf], axis=-1)
+        mu = _CCTransform(self.slice_ch, self.cc_widths, name="cc_mean")(
+            mean_support
+        )
+        mu = self._refine(mu, self.mu_refine, "mu_refine")
+        scale_support = jnp.concatenate([cs, buf], axis=-1)
+        scale = _CCTransform(self.slice_ch, self.cc_widths, name="cc_scale")(
+            scale_support
+        )
+        scale = self._refine(scale, self.scale_refine, "sigma_refine")
+        _, lik = GaussianConditional(name="gc")(
+            y_slice, scale, mu, training=self.training
+        )
+        y_hat = ste_round(y_slice - mu) + mu
+        lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
+        lrp = _CCTransform(self.slice_ch, self.cc_widths, name="lrp")(
+            lrp_support
+        )
+        lrp = self._refine(lrp, self.lrp_refine, "lrp_refine")
+        y_hat = y_hat + 0.5 * jnp.tanh(lrp)
+
+        sc = self.slice_ch
+        if self.support_mode == "prefix":
+            # fill slot i while i < max_support, then freeze (cnn.py:162)
+            slot = jnp.minimum(i, self.max_support - 1) * sc
+            updated = jax.lax.dynamic_update_slice(
+                buf, y_hat, (0, 0, 0, slot)
+            )
+            buf = jnp.where(i < self.max_support, updated, buf)
+        else:
+            # sliding window, right-aligned newest (stf6.py:806): shift
+            # left one slot, append; zeros occupy the not-yet-decoded
+            # front slots exactly where the migration zero-pads weights
+            buf = jnp.concatenate([buf[..., sc:], y_hat], axis=-1)
+        return (cond_m, cond_s, buf, i + 1), (y_hat, lik)
+
+
 class ZigzagSwinCodec(CompressionModel):
     # Swin transform config (same defaults as stf)
     embed_dim: int = 48
@@ -100,6 +191,12 @@ class ZigzagSwinCodec(CompressionModel):
     lrp_refine: Tuple[int, ...] = ()
     refine_window: int = 4
     refine_heads: int = 4
+    # scan_charm=True runs the AR slice loop as ONE lax.scan with stacked
+    # per-slice weights (incl. the Swin refiners) — numerically equal to
+    # the unrolled loop, but the context compiles once instead of
+    # ctx_slices times. The unrolled path remains the protocol the real
+    # coder drives.
+    scan_charm: bool = False
 
     @property
     def latent_dim(self) -> int:
@@ -162,6 +259,66 @@ class ZigzagSwinCodec(CompressionModel):
 
         self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
         self.gaussian_conditional = GaussianConditional()
+
+    @nn.compact
+    def __call__(self, x, training: bool = True):
+        if not self.scan_charm:
+            return super().__call__(x, training=training)
+
+        from ..ops import ste_round
+
+        y, z = self.analyze(x, training=training)
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+        z_offset = self.eb_medians()
+        z_hat = ste_round(z - z_offset) + z_offset
+        means = self.h_mean_s(z_hat)
+        scales = self.h_scale_s(z_hat)
+
+        y_slices = self.latent_slices(y)
+        y_stack = jnp.stack(y_slices, axis=0)  # (N, B, h', w', sc)
+        if self.mean_mode == "full":
+            cond_m, cond_s = means, scales
+        else:
+            cond_m = jnp.stack(self._split(means), axis=0)
+            cond_s = jnp.stack(self._split(scales), axis=0)
+        N, B, h, w, sc = y_stack.shape
+        buf = jnp.zeros((B, h, w, self.max_support * sc), y.dtype)
+
+        Scan = nn.scan(
+            _ZigzagScanStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "noise": True, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+            length=N,
+        )
+        _, (y_hat_stack, lik_stack) = Scan(
+            slice_ch=sc,
+            cc_widths=self.cc_widths,
+            max_support=self.max_support,
+            support_mode=self.support_mode,
+            cond_mode=self.mean_mode,
+            mean_window=self.mean_window,
+            n_steps=N,
+            mu_refine=self.mu_refine,
+            scale_refine=self.scale_refine,
+            lrp_refine=self.lrp_refine,
+            refine_window=self.refine_window,
+            refine_heads=self.refine_heads,
+            drop_path_rate=self.drop_path_rate,
+            training=training,
+            name="zigzag_scan",
+        )((cond_m, cond_s, buf, jnp.int32(0)), y_stack)
+
+        y_hat = self.ctx_assemble([y_hat_stack[i] for i in range(N)])
+        y_likelihoods = jnp.concatenate(
+            [lik_stack[i] for i in range(N)], axis=-1
+        )
+        x_hat = self.synthesize(y_hat, training=training)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
 
     # --- ChARM protocol -----------------------------------------------------
     def analyze(self, x, training: bool = False):
@@ -238,6 +395,116 @@ class ZigzagSwinCodec(CompressionModel):
             zz, self.num_slices, self.spatial_number, self.spatial_number,
             self.zigzag_constrained,
         )
+
+
+def _zig_cond_width(model: "ZigzagSwinCodec") -> int:
+    if model.mean_mode == "full":
+        return model.hyper_dec_widths[-1]
+    return model.mean_window * model.slice_ch
+
+
+def _stack_cc_group(params, tag, model, lrp: bool = False):
+    """Per-slice _CCTransform trees -> one stacked tree whose Conv_0
+    kernels are zero-padded to the scan's fixed support width. Sliding
+    supports right-align (newest last, zeros at the not-yet-decoded
+    front); prefix supports left-align (cnn.py:162 slot order)."""
+    n = model.ctx_slices
+    sc = model.slice_ch
+    cond_w = _zig_cond_width(model)
+    max_sup = model.max_support
+    outs = []
+    for i in range(n):
+        tree = params[f"{tag}_{i}"]
+        k = min(i, max_sup)
+        kern = np.asarray(tree["Conv_0"]["kernel"])
+        kh, kw, _, cout = kern.shape
+        full_in = cond_w + max_sup * sc + (sc if lrp else 0)
+        new = np.zeros((kh, kw, full_in, cout), kern.dtype)
+        new[:, :, :cond_w] = kern[:, :, :cond_w]
+        sup = kern[:, :, cond_w : cond_w + k * sc]
+        off = cond_w + ((max_sup - k) * sc if model.support_mode == "sliding"
+                        else 0)
+        new[:, :, off : off + k * sc] = sup
+        if lrp:
+            new[:, :, cond_w + max_sup * sc :] = kern[:, :, cond_w + k * sc :]
+        entry = {
+            key: (
+                {"kernel": new, "bias": np.asarray(tree["Conv_0"]["bias"])}
+                if key == "Conv_0"
+                else tree[key]
+            )
+            for key in tree
+        }
+        outs.append(entry)
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *outs
+    )
+
+
+def stack_zigzag_params(params: dict, model: "ZigzagSwinCodec") -> dict:
+    """Unrolled ZigzagSwinCodec params -> params for the same model with
+    ``scan_charm=True`` (numerically identical forward; see
+    tests/test_stf_family.py)."""
+    n = model.ctx_slices
+    scan = {
+        "cc_mean": _stack_cc_group(params, "cc_mean", model),
+        "cc_scale": _stack_cc_group(params, "cc_scale", model),
+        "lrp": _stack_cc_group(params, "lrp", model, lrp=True),
+    }
+    for depths, tag in (
+        (model.mu_refine, "mu_refine"),
+        (model.scale_refine, "sigma_refine"),
+        (model.lrp_refine, "lrp_refine"),
+    ):
+        if depths:
+            scan[tag] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[params[f"{tag}_{i}"] for i in range(n)],
+            )
+    drop = tuple(
+        f"{t}_{i}"
+        for t in ("cc_mean", "cc_scale", "lrp",
+                  "mu_refine", "sigma_refine", "lrp_refine")
+        for i in range(n)
+    )
+    out = {k: v for k, v in params.items() if k not in drop}
+    out["zigzag_scan"] = scan
+    return out
+
+
+def unstack_zigzag_params(scan_params: dict, model: "ZigzagSwinCodec") -> dict:
+    """Inverse of stack_zigzag_params for the varying-width groups (drops
+    the zero padding, which carries no information)."""
+    n = model.ctx_slices
+    sc = model.slice_ch
+    cond_w = _zig_cond_width(model)
+    max_sup = model.max_support
+    out = {}
+    for tag, lrp in (("cc_mean", False), ("cc_scale", False), ("lrp", True)):
+        stacked = scan_params[tag]
+        for i in range(n):
+            tree = jax.tree_util.tree_map(lambda x: np.asarray(x[i]), stacked)
+            k = min(i, max_sup)
+            kern = tree["Conv_0"]["kernel"]
+            parts = [kern[:, :, :cond_w]]
+            off = cond_w + ((max_sup - k) * sc
+                            if model.support_mode == "sliding" else 0)
+            parts.append(kern[:, :, off : off + k * sc])
+            if lrp:
+                parts.append(kern[:, :, cond_w + max_sup * sc :])
+            tree["Conv_0"]["kernel"] = np.concatenate(parts, axis=2)
+            out[f"{tag}_{i}"] = tree
+    for depths, tag in (
+        (model.mu_refine, "mu_refine"),
+        (model.scale_refine, "sigma_refine"),
+        (model.lrp_refine, "lrp_refine"),
+    ):
+        if depths:
+            for i in range(n):
+                out[f"{tag}_{i}"] = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x[i]), scan_params[tag]
+                )
+    return out
 
 
 # --- reference-variant presets ----------------------------------------------

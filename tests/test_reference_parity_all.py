@@ -14,9 +14,16 @@ Exclusions, each with the blocking reference fact:
   - oj_ICM / seg_oj_ICM: reference constructors unconditionally load
     Detectron2 configs+weights from absolute paths
     (fasterRCNN_ICM.py:41-55) — Detectron2 is not installed here.
+  - stf10: the reference forward crashes unconditionally on its own
+    double-g_s1 bug — ``h_hat = self.g_s1(y_hat)`` (384->192) is fed
+    BACK through ``self.g_s1`` at stf10.py:1013, a 384-channel conv
+    receiving 192 channels. No input reaches the return statement.
   - stf4 runs only via a torch.ones patch: its reference mask creation
     hard-codes device('cuda') (stf4.py:203-206), which raises on a
     CPU-only torch build.
+  - cnn2 runs only via a studentNet call adapter (cnn2.py:219 passes one
+    arg to the two-arg studentResNet.forward, model.py:384) and returns
+    no reconstruction, so its certificate is likelihoods/bpp only.
 """
 
 import os
@@ -58,7 +65,6 @@ CASES = {
     "stf7": 2e-3,
     "stf8": 2e-3,
     "stf9": 5e-5,
-    "stf10": 2e-3,
     "stf11": 5e-5,
     "stf12": 5e-5,
     "stf13": 5e-5,
@@ -72,7 +78,8 @@ def test_forward_parity(arch):
     report = run(arch, size=64)
     assert "error" not in report, report
     assert "shape_mismatch" not in report, report
-    assert report["max_dx_hat"] < CASES[arch], report
+    if report["max_dx_hat"] is not None:  # cnn2: reference exposes no x_hat
+        assert report["max_dx_hat"] < CASES[arch], report
     assert report["bpp_diff"] < 5e-3, report
     # wiring certificate: large likelihood deviations must be localized
     # (AR boundary flips), never broad

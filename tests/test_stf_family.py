@@ -85,3 +85,101 @@ def test_registry_variant_configs():
         assert isinstance(m, ZigzagSwinCodec)
         assert m.num_slices == slices and m.spatial_number == spatial
     assert create_model("stf6_2").max_support == create_model("stf6").max_support
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(
+            num_slices=4, spatial_number=2, support_mode="sliding",
+            max_support=6, mean_mode="window", mean_window=1,
+            mu_refine=(1, 1), scale_refine=(), lrp_refine=(),
+            refine_window=4,
+        ),
+        dict(
+            num_slices=4, spatial_number=1, support_mode="prefix",
+            max_support=2, mean_mode="full", mu_refine=(1,),
+            scale_refine=(1,), lrp_refine=(1,), refine_window=4,
+        ),
+        dict(
+            num_slices=4, spatial_number=2, support_mode="sliding",
+            max_support=4, mean_mode="window", mean_window=8,
+            mu_refine=(1,), scale_refine=(1,), lrp_refine=(1,),
+            refine_window=4,
+        ),
+    ],
+    ids=["stf6like", "stf5like", "stf8like"],
+)
+def test_zigzag_scan_equals_unrolled(cfg):
+    """scan_charm=True (stacked per-slice weights incl. Swin refiners)
+    reproduces the unrolled AR loop exactly, across all three context
+    shapes (sliding/prefix supports, full/window conditioning)."""
+    from icm_tpu.models.stf_family import (
+        stack_zigzag_params,
+        unstack_zigzag_params,
+    )
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    unrolled = ZigzagSwinCodec(**TINY_SWIN, **cfg)
+    vu = _init(unrolled, x)
+    out_u = unrolled.apply(vu, x, training=False)
+
+    scanned = ZigzagSwinCodec(**TINY_SWIN, **cfg, scan_charm=True)
+    vs = _init(scanned, x)  # structure reference
+    migrated = stack_zigzag_params(dict(vu["params"]), unrolled)
+    assert jax.tree_util.tree_structure(
+        migrated
+    ) == jax.tree_util.tree_structure(dict(vs["params"])), "tree mismatch"
+    out_s = scanned.apply({"params": migrated}, x, training=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out_s["x_hat"]), np.asarray(out_u["x_hat"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["likelihoods"]["y"]),
+        np.asarray(out_u["likelihoods"]["y"]),
+        atol=2e-6,
+    )
+
+    # unstack roundtrip: varying-width kernels reconstructed exactly
+    back = unstack_zigzag_params(migrated["zigzag_scan"], unrolled)
+    for key, tree in back.items():
+        ref = vu["params"][key]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            tree,
+            ref,
+        )
+
+
+def test_zigzag_scan_trains():
+    """Gradients flow through the scanned refiners."""
+    cfg = dict(
+        num_slices=4, spatial_number=1, support_mode="sliding",
+        max_support=2, mean_mode="full", mu_refine=(1,),
+        scale_refine=(), lrp_refine=(), refine_window=4,
+    )
+    model = ZigzagSwinCodec(**TINY_SWIN, **cfg, scan_charm=True)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = _init(model, x)
+
+    def loss(p):
+        out = model.apply(
+            {"params": p}, x, training=True,
+            rngs={
+                "noise": jax.random.PRNGKey(3),
+                "dropout": jax.random.PRNGKey(4),
+            },
+        )
+        return jnp.mean((out["x_hat"] - x) ** 2) - jnp.mean(
+            jnp.log(out["likelihoods"]["y"])
+        )
+
+    g = jax.grad(loss)(v["params"])
+    scan = g["zigzag_scan"]
+    k = scan["cc_mean"]["Conv_0"]["kernel"]
+    assert np.any(np.asarray(k) != 0)
+    rk = jax.tree_util.tree_leaves(scan["mu_refine"])[0]
+    assert np.any(np.asarray(rk) != 0)
