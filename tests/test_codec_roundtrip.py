@@ -97,3 +97,57 @@ def test_decompress_matches_eval_forward_xhat(codec):
     a = np.asarray(dec["x_hat"])
     b = np.clip(np.asarray(out["x_hat"]), 0, 1)
     assert np.mean((a - b) ** 2) < 1e-3
+
+
+def test_pack_unpack_wire_inverse():
+    """Device pack -> host unpack reproduces symbols/indexes exactly,
+    across escape rates (incl. >12.5%, the raw-fallback threshold) and
+    non-multiple-of-4 lengths."""
+    import numpy as np
+    from icm_tpu.models import WACNN
+    from icm_tpu.models.codec import CharmCodec, _unpack_wire
+
+    model = WACNN(
+        N=16, M=24, num_slices=6, max_support_slices=5,
+        hyper_enc_widths=(24, 20, 16, 14, 12),
+        hyper_dec_widths=(12, 14, 16, 20, 24),
+        cc_widths=(16, 12, 10, 8),
+    )
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x0
+    )
+    codec = CharmCodec(model, v)
+    rng = np.random.RandomState(0)
+    for sigma in (0.6, 2.5):  # ~3% and ~45% escape rates
+        sym16s = [
+            jnp.asarray(
+                np.clip(np.round(rng.normal(0, sigma, (2, 3, 5, 4))),
+                        -127, 127).astype(np.int8)
+            )
+            for _ in range(3)
+        ]
+        idxs = [
+            jnp.asarray(rng.randint(0, 64, (2, 3, 5, 4)).astype(np.uint8))
+            for _ in range(3)
+        ]
+        sym2, idx6, n_esc, esc_buf = codec._pack_streams(sym16s, idxs)
+        n_total = sum(int(np.prod(s.shape[1:])) for s in sym16s)
+        mx = int(np.max(np.asarray(n_esc)))
+        esc = (
+            np.asarray(esc_buf[:, :mx]) if mx else np.zeros((2, 0), np.int8)
+        )
+        symbols, indexes = _unpack_wire(
+            np.asarray(sym2), np.asarray(idx6), np.asarray(n_esc), esc,
+            n_total,
+        )
+        want_sym = np.concatenate(
+            [np.asarray(s).reshape(2, -1).astype(np.int32) for s in sym16s],
+            axis=1,
+        )
+        want_idx = np.concatenate(
+            [np.asarray(i).reshape(2, -1).astype(np.int32) for i in idxs],
+            axis=1,
+        )
+        np.testing.assert_array_equal(symbols, want_sym)
+        np.testing.assert_array_equal(indexes, want_idx)

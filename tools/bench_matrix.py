@@ -1,0 +1,184 @@
+"""TPU bench matrix: one measured row per codec family (VERDICT #4).
+
+For every real-coder family that bench.py's CharmCodec path does not
+cover (stf2's windowed-token AR, stf3/stf4's masked-transformer decode,
+czigzag's conditioned codec, the CRC stacks, the ICM task codecs), build
+the model at reference size, run compress -> decompress on the TPU and
+record enc/dec img/s + bpp + stream counts. Timing is anchored by a
+data-dependent device_get on x_hat (``block_until_ready`` does not wait
+on this remote runtime — NOTES_ROUND2.md); encode ends in host rANS
+bytes so it is synchronized by construction.
+
+Usage: python tools/bench_matrix.py [--families stf2,stf9,...]
+       [--iters 2] [--out BENCH_MATRIX_r03.json]
+Rows append to the JSON file as they complete, so a partial run still
+records everything it measured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_icm_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+from eval_model import build_codec  # noqa: E402
+
+# (size, batch) per family: AR-per-token coders (stf2/3/4) decode in
+# O(tokens) link round-trips, so they run at 128px; slice-AR families
+# run at the 256px config the round-2 rows used.
+FAMILIES = {
+    "stf2": (128, 4),
+    "stf3": (128, 4),
+    "stf4": (128, 4),
+    "czigzag": (256, 4),
+    "stf9": (256, 4),
+    "stf12": (256, 4),
+    "stf13": (256, 4),
+    "stf14": (256, 4),
+    "oj_ICM": (256, 4),
+    "seg_oj_ICM": (256, 4),
+}
+
+
+def sync_scalar(a) -> float:
+    return float(jax.device_get(jnp.asarray(a).sum()))
+
+
+def bench_family(name: str, size: int, batch: int, iters: int) -> dict:
+    from icm_tpu.models import create_model
+
+    model = create_model(name)
+    # near-midgray input: in-range symbols comparable to a trained
+    # model's statistics (see bench.py)
+    key = jax.random.PRNGKey(0)
+    x = jnp.clip(
+        0.5 + 0.08 * jax.random.normal(key, (batch, size, size, 3)), 0, 1
+    )
+    init_rngs = {
+        "params": jax.random.PRNGKey(1),
+        "noise": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+    }
+    if name == "czigzag":
+        variables = jax.jit(model.init)(init_rngs, x, x)
+    else:
+        variables = jax.jit(model.init)(init_rngs, x)
+    jax.block_until_ready(variables)
+
+    if name == "czigzag":
+        from icm_tpu.models.crc_codec import CzigzagCodec
+
+        codec, kind = CzigzagCodec(model, variables), "czigzag"
+    else:
+        codec, kind = build_codec(name, model, variables)
+
+    def decompress(enc):
+        if kind == "czigzag":
+            return codec.decompress(enc["strings"], enc["shape"], x)
+        if kind == "crc":
+            return codec.decompress(
+                enc["strings"], enc["shape"], enc["human_shape"]
+            )
+        if kind == "crc3":
+            return codec.decompress(
+                enc["strings"], enc["shape"], enc["seg_shape"],
+                enc["human_shape"],
+            )
+        if kind == "segoj":
+            return codec.decompress(
+                enc["strings"], enc["shape"], enc["seg_shape"]
+            )
+        if kind == "stf2":
+            return codec.decompress(
+                enc["strings"], enc["shape"], enc["out_hw"], enc["lattice"]
+            )
+        return codec.decompress(enc["strings"], enc["shape"])
+
+    def one_roundtrip():
+        t0 = time.time()
+        enc = (
+            codec.compress(x, x) if kind == "czigzag" else codec.compress(x)
+        )
+        t_enc = time.time() - t0  # ends in host rANS bytes: synchronized
+        t0 = time.time()
+        dec = decompress(enc)
+        sync_scalar(dec["x_hat"])  # data-dependent fetch anchors the time
+        t_dec = time.time() - t0
+        bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
+        return enc, bits, t_enc, t_dec
+
+    # warm-up doubles as compile
+    t_first = time.time()
+    enc0, bits, _, _ = one_roundtrip()
+    t_first = time.time() - t_first
+
+    encs, decs = [], []
+    for _ in range(iters):
+        _, bits, te, td = one_roundtrip()
+        encs.append(te)
+        decs.append(td)
+    encs.sort()
+    decs.sort()
+    te = encs[len(encs) // 2]
+    td = decs[len(decs) // 2]
+    n_streams = sum(len(ss) for ss in enc0["strings"])
+    return {
+        "model": name,
+        "size": size,
+        "batch": batch,
+        "bpp": round(bits / (batch * size * size), 4),
+        "enc_images_per_sec": round(batch / te, 3),
+        "dec_images_per_sec": round(batch / td, 3),
+        "encdec_images_per_sec": round(batch / (te + td), 3),
+        "n_streams": n_streams,
+        "warmup_s": round(t_first, 1),
+        "backend": jax.default_backend(),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "BENCH_MATRIX_r03.json")
+    )
+    ns = ap.parse_args()
+    rows = []
+    if os.path.exists(ns.out):
+        rows = json.load(open(ns.out))
+    done = {r["model"] for r in rows}
+    for name in ns.families.split(","):
+        if name in done:
+            print(f"skip {name} (already recorded)", flush=True)
+            continue
+        size, batch = FAMILIES[name]
+        try:
+            row = bench_family(name, size, batch, ns.iters)
+        except Exception as e:
+            row = {"model": name, "error": repr(e)}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+        json.dump(rows, open(ns.out, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
