@@ -94,8 +94,16 @@ def batch_iterator(
     drop_remainder: bool = True,
     prefetch: int = 2,
     epochs: Optional[int] = 1,
+    workers: int = 0,
 ) -> Iterator[np.ndarray]:
-    """Threaded prefetching batch iterator yielding stacked numpy batches."""
+    """Threaded prefetching batch iterator yielding stacked numpy batches.
+
+    ``workers > 0`` decodes samples in a fork-based process pool — PIL
+    decode holds the GIL, so on multi-core hosts the producer thread
+    alone cannot outrun an accelerator train step (reference loads via
+    torch DataLoader workers, train.py:419-433; this is the equivalent).
+    The pool forks lazily on first use and is torn down with the
+    iterator."""
 
     def indices():
         rng = np.random.default_rng(seed)
@@ -108,8 +116,17 @@ def batch_iterator(
                         for i in range(0, len(order), batch_size))
             epoch += 1
 
+    pool = None
+    if workers > 0:
+        import multiprocessing as mp
+
+        pool = mp.get_context("fork").Pool(workers)
+
     def make_batch(idx):
-        items = [dataset[int(i)] for i in idx]
+        if pool is not None:
+            items = pool.map(dataset.__getitem__, [int(i) for i in idx])
+        else:
+            items = [dataset[int(i)] for i in idx]
         if isinstance(items[0], tuple):
             return tuple(np.stack(col) for col in zip(*items))
         return np.stack(items)
@@ -126,8 +143,12 @@ def batch_iterator(
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            yield item
+    finally:
+        if pool is not None:
+            pool.terminate()

@@ -30,6 +30,10 @@ def base_parser(default_model: str, default_lmbda: float = 1e-2):
     p.add_argument("--checkpoint", default=None, help="resume path")
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument(
+        "--loader-workers", type=int, default=0,
+        help="process-pool decode workers (0 = in-thread decode)",
+    )
+    p.add_argument(
         "--model-kwargs", default=None,
         help="JSON dict of model constructor overrides",
     )
@@ -57,27 +61,58 @@ def model_kwargs(args) -> dict:
     return json.loads(args.model_kwargs) if args.model_kwargs else {}
 
 
+class TrainTransform:
+    """Picklable crop+flip augmentation (process-pool loader workers fork
+    and pickle the dataset; a closure over a Generator cannot cross).
+    Each worker process lazily derives its own rng stream from
+    (seed, pid) — with workers > 0 augmentation randomness is therefore
+    reproducible per worker but not across pool layouts."""
+
+    def __init__(self, size, seed):
+        self.size = tuple(size)
+        self.seed = seed
+        self._rng = None
+        self._pid = None
+
+    def __call__(self, img):
+        import os
+
+        from icm_tpu.data.transforms import random_crop, random_hflip
+
+        if self._rng is None or self._pid != os.getpid():
+            self._pid = os.getpid()
+            self._rng = np.random.default_rng((self.seed, self._pid))
+        return random_hflip(
+            random_crop(img, self.size, self._rng), self._rng
+        ).copy()
+
+
+class EvalTransform:
+    def __init__(self, size):
+        self.size = tuple(size)
+
+    def __call__(self, img):
+        from icm_tpu.data.transforms import center_crop
+
+        return center_crop(img, self.size)
+
+
 def image_batch_providers(args):
     """ImageFolder train/eval batch providers with random crops."""
     from icm_tpu.data import ImageFolder, batch_iterator
-    from icm_tpu.data.transforms import center_crop, random_crop, random_hflip
 
-    rng = np.random.default_rng(args.seed)
     size = tuple(args.patch_size)
+    workers = getattr(args, "loader_workers", 0)
 
-    def train_tf(img):
-        return random_hflip(random_crop(img, size, rng), rng).copy()
-
-    def test_tf(img):
-        return center_crop(img, size)
-
-    train_ds = ImageFolder(args.dataset, args.train_split, train_tf)
-    test_ds = ImageFolder(args.dataset, args.test_split, test_tf)
+    train_ds = ImageFolder(
+        args.dataset, args.train_split, TrainTransform(size, args.seed)
+    )
+    test_ds = ImageFolder(args.dataset, args.test_split, EvalTransform(size))
 
     def train_batches(epoch):
         it = batch_iterator(
             train_ds, args.batch_size, shuffle=True,
-            seed=args.seed + epoch, epochs=1,
+            seed=args.seed + epoch, epochs=1, workers=workers,
         )
         if args.steps_per_epoch:
             for i, b in enumerate(it):
