@@ -127,6 +127,17 @@ def main(argv=None):
     set_use_pallas(None)  # auto: fused kernel where profitable (W<=256)
 
     model = create_model(args.model)  # cnn: full-size N=192, M=320, 10 slices
+    # stf5-8 full size: the UNROLLED forward graph (ctx_slices x Swin
+    # refiner stacks) overflows the remote compile helper (~2.7 MB MLIR,
+    # NOTES_ROUND2.md). Init + forward-bench run the scan_charm variant
+    # (one scanned step = small graph); the codec below gets the SAME
+    # weights unstacked back to the per-slice protocol (its per-slice
+    # programs are individually small).
+    from icm_tpu.models.stf_family import ZigzagSwinCodec
+
+    scan_fwd = isinstance(model, ZigzagSwinCodec)
+    if scan_fwd:
+        model = model.clone(scan_charm=True)
     # near-midgray input: an untrained model on white-noise input produces
     # far-out-of-range symbols (6+ bpp of bypass escapes), which benchmarks
     # the coder on a statistically unrealistic stream; low-amplitude input
@@ -195,6 +206,15 @@ def main(argv=None):
     # sweep (tools/probe_batch.py) peaks at batch 32-48 with 8 groups
     # (17.7-18.5 img/s vs 6.6 at batch 4).
     groups = max(1, min(8, batch // 4))
+    if scan_fwd:
+        from icm_tpu.models.stf_family import unstack_zigzag_params
+
+        unrolled = model.clone(scan_charm=False)
+        params = dict(variables["params"])
+        params.update(unstack_zigzag_params(params.pop("zigzag_scan"),
+                                            unrolled))
+        model = unrolled
+        variables = {"params": params}
     codec = CharmCodec(model, variables)
 
     def sync(a):
