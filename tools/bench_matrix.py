@@ -65,7 +65,10 @@ def sync_scalar(a) -> float:
 def bench_family(name: str, size: int, batch: int, iters: int) -> dict:
     from icm_tpu.models import create_model
 
-    model = create_model(name)
+    # stf4's real coder needs the causal completion (the reference mask
+    # degenerates at token 0 — ClipEncoder4 docstring)
+    kwargs = {"causal": True} if name == "stf4" else {}
+    model = create_model(name, **kwargs)
     # near-midgray input: in-range symbols comparable to a trained
     # model's statistics (see bench.py)
     key = jax.random.PRNGKey(0)
