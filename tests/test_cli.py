@@ -149,7 +149,10 @@ def test_eval_cli_detection_mode(coco_root):
             "--model-kwargs", json.dumps(kw), "--max-images", "1",
         ]
     )
-    assert set(res) == {"mAP", "AP50", "AP75"}
+    # full COCOeval surface (per-class AP, area buckets, AR@k)
+    for key in ("mAP", "AP50", "AP75", "AP_small", "AP_large",
+                "AR1", "AR10", "AR100", "per_class_AP"):
+        assert key in res, sorted(res)
 
 
 def test_eval_cli_segmentation_mode(coco_root):
@@ -329,9 +332,10 @@ def test_train_cli_bf16(image_root, tmp_path):
 
 
 def test_eval_stf3_auto_causal():
-    """The eval CLI builds stf3/stf4 with causal=True when a real coder
-    is requested (the reference's teacher-forced context cannot be
-    decoded), and leaves the reference default for entropy estimation."""
+    """The eval CLI builds stf4 with causal=True when a real coder is
+    requested (its reference mask degenerates at token 0); stf3 keeps
+    the reference default — its internal block mask is already causal
+    and Stf3Codec drives it directly."""
     sys.path.insert(0, os.getcwd())
     from tools.eval_model import parse_args, resolve_model_kwargs
 
@@ -343,10 +347,17 @@ def test_eval_stf3_auto_causal():
         hyper_enc_widths=[16, 14, 12, 10, 8],
         hyper_dec_widths=[10, 12, 14, 16, 16],
     ))
-    for flags, expect_causal in [([], True), (["--entropy-estimation"], False)]:
+    for name, flags, expect_causal in [
+        ("stf4", [], True),                          # degenerate ref mask
+        ("stf4", ["--entropy-estimation"], False),   # forward = ref exact
+        ("stf3", [], False),                         # ref mask already causal
+        ("stf3", ["--entropy-estimation"], False),
+    ]:
         args = parse_args(
-            ["image", "-d", "/tmp", "-m", "stf3", "--model-kwargs", tiny]
+            ["image", "-d", "/tmp", "-m", name, "--model-kwargs", tiny]
             + flags
         )
         model = create_model(args.model, **resolve_model_kwargs(args))
-        assert bool(getattr(model, "causal", False)) is expect_causal
+        assert bool(getattr(model, "causal", False)) is expect_causal, (
+            name, flags
+        )
