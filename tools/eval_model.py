@@ -114,8 +114,45 @@ CODEC_KINDS = {
 }
 
 
+def descan_for_codec(model, variables):
+    """Training checkpoints commonly hold the scan_charm parameterization
+    (one lax.scan with stacked per-slice weights); the real coder drives
+    the unrolled per-slice protocol. Convert transparently so a scanned
+    checkpoint evaluates through the bitstream path unchanged."""
+    params = variables.get("params", {})
+    if "charm_scan" in params:
+        from icm_tpu.models.cnn import unstack_charm_params
+
+        p = dict(params)
+        p.update(
+            unstack_charm_params(
+                {"charm_scan": p.pop("charm_scan")},
+                model.num_slices,
+                model.M // model.num_slices,
+                model.max_support_slices,
+                model.hyper_dec_widths[-1],
+            )
+        )
+        variables = dict(variables)
+        variables["params"] = p
+        model = model.clone(scan_charm=False)
+    elif "zigzag_scan" in params:
+        from icm_tpu.models.stf_family import unstack_zigzag_params
+
+        unrolled = model.clone(scan_charm=False)
+        p = dict(params)
+        p.update(unstack_zigzag_params(p.pop("zigzag_scan"), unrolled))
+        variables = dict(variables)
+        variables["params"] = p
+        model = unrolled
+    import jax
+
+    return model, jax.device_put(variables)
+
+
 def build_codec(name, model, variables):
     """Codec driver for a registry name (None if the model has none)."""
+    model, variables = descan_for_codec(model, variables)
     kind = CODEC_KINDS.get(name, "charm")
     if kind == "crc":
         from icm_tpu.models import CRCCodec
