@@ -214,7 +214,10 @@ def main(argv=None):
         params.update(unstack_zigzag_params(params.pop("zigzag_scan"),
                                             unrolled))
         model = unrolled
-        variables = {"params": params}
+        # device_put once: unstack returns host arrays, and jit re-uploads
+        # host-array args on EVERY call — 24 dispatches x ~75 MB of params
+        # over the tunnel dominated the first stf5 codec measurement
+        variables = jax.device_put({"params": params})
     codec = CharmCodec(model, variables)
 
     def sync(a):

@@ -38,10 +38,20 @@ def render(rng, size):
         if cls == 0:  # circle
             cx, cy, r = x0 + w / 2, y0 + h / 2, w / 2
             mask = (xx - cx) ** 2 + (yy - cy) ** 2 < r * r
+            theta = np.linspace(0, 2 * np.pi, 17)[:-1]
+            poly = np.stack(
+                [cx + r * np.cos(theta), cy + r * np.sin(theta)], -1
+            ).reshape(-1)
         else:  # square / bar
             mask = (xx >= x0) & (xx < x0 + w) & (yy >= y0) & (yy < y0 + h)
+            poly = np.array(
+                [x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h], float
+            )
         img[mask] = color
-        anns.append({"bbox": [x0, y0, w, h], "cls": cls})
+        anns.append(
+            {"bbox": [x0, y0, w, h], "cls": cls,
+             "seg": [[float(v) for v in poly]]}
+        )
     return (np.clip(img, 0, 1) * 255).astype(np.uint8), anns
 
 
@@ -75,6 +85,7 @@ def main():
                     "id": aid, "image_id": iid,
                     "category_id": a["cls"] + 1,
                     "bbox": [float(v) for v in a["bbox"]],
+                    "segmentation": a["seg"],
                     "area": float(a["bbox"][2] * a["bbox"][3]),
                     "iscrowd": 0,
                 }

@@ -43,16 +43,23 @@ def seg_batch_providers(args):
     return train_batches, eval_batches, next(iter(train_batches(0)))
 
 
-def make_seg_step(model, criterion):
+def make_seg_step(model, criterion, extra_vars=None):
     import jax
+
+    # non-trainable collections (the frozen DeepLab student's
+    # batch_stats) must ride along or BatchNorm sees an empty collection
+    extra = dict(extra_vars or {})
 
     def loss_fn(params, batch, rng):
         img, mask = batch
         out = model.apply(
-            {"params": params}, img, training=True, rngs={"noise": rng}
+            {"params": params, **extra}, img, training=True,
+            rngs={"noise": rng},
         )
         res = criterion(out, mask)
-        aux = model.apply({"params": params}, method=model.aux_loss)
+        aux = model.apply(
+            {"params": params, **extra}, method=model.aux_loss
+        )
         return res["loss"] + aux, {**res, "aux_loss": aux}
 
     def step(state, batch, rng):
