@@ -17,6 +17,83 @@ import os
 import sys
 import time
 
+
+def _probe_backend(timeout_s: float) -> str:
+    """Initialize the configured JAX backend in a SUBPROCESS and run one op.
+
+    Returns "" on success, else a short reason string. Run as a subprocess so
+    that a hung tunnel (init that never returns) or a hard crash cannot take
+    this process — and the driver's one-JSON-line contract — down with it.
+    """
+    import signal
+    import subprocess
+    import tempfile
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(jax.default_backend());"
+        "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]))"
+    )
+    # No pipes: the axon sitecustomize spawns helper processes that inherit
+    # stdio; after a kill, pipe-draining (communicate) would block forever
+    # on fds the orphaned helper still holds. Write output to a temp file
+    # and kill the probe's WHOLE process group on timeout.
+    with tempfile.TemporaryFile() as out:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=out, stderr=subprocess.STDOUT,
+            stdin=subprocess.DEVNULL, start_new_session=True,
+        )
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            proc.wait()
+            return f"backend init timed out after {timeout_s:.0f}s"
+        if rc != 0:
+            out.seek(0)
+            tail = out.read().decode(errors="replace").strip().splitlines()
+            return "backend init failed: " + (tail[-1][:300] if tail else "?")
+    return ""
+
+
+_DEGRADED_ENV = "ICM_BENCH_DEGRADED"
+
+
+def _reexec_degraded(reason: str):
+    """Re-exec this script on pure CPU with the axon remote-TPU hooks
+    scrubbed, carrying ``reason`` so the emitted JSON is labeled degraded."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    for k in list(env):
+        if "AXON" in k:
+            env.pop(k)
+    pypath = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+              if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(pypath)
+    env[_DEGRADED_ENV] = reason
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+# Outage guard (VERDICT r3 #1): round 3 shipped no perf number because the
+# axon TPU tunnel was down and the first jax op raised. Probe the backend in
+# a subprocess first; on failure re-exec on pure CPU with the axon hooks
+# scrubbed (with PALLAS_AXON_POOL_IPS set, the sitecustomize degrades even
+# CPU numerics to bf16 defaults — NOTES_ROUND3.md) so we ALWAYS emit a
+# parseable JSON line, labeled degraded.
+if (
+    _DEGRADED_ENV not in os.environ
+    and os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
+    and "jax" not in sys.modules
+):
+    _reason = _probe_backend(
+        float(os.environ.get("ICM_BENCH_PROBE_TIMEOUT", "600"))
+    )
+    if _reason:
+        _reexec_degraded(_reason)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,6 +186,9 @@ except Exception:
     pass
 
 
+_T0 = time.time()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument(
@@ -121,12 +201,31 @@ def main(argv=None):
     args = p.parse_args(argv)
     size = args.size
     batch = args.batch
+    degraded = os.environ.get(_DEGRADED_ENV)
+    if degraded:
+        # TPU unavailable — measure a small CPU configuration so the JSON
+        # line still lands within the driver's budget, labeled as degraded
+        size = min(size, 128)
+        batch = min(batch, 2)
+        print(f"bench: DEGRADED cpu fallback ({degraded})", file=sys.stderr)
     from icm_tpu.models import CharmCodec, create_model
     from icm_tpu.nn import set_use_pallas
 
     set_use_pallas(None)  # auto: fused kernel where profitable (W<=256)
 
-    model = create_model(args.model)  # cnn: full-size N=192, M=320, 10 slices
+    degraded_kwargs = {}
+    if degraded and args.model == "cnn":
+        # full-size WACNN cannot even COMPILE on this 1-core host within
+        # the fallback's budget; bench a narrow same-architecture config
+        # (labeled in extra) so the emitted number is still a liveness
+        # measurement of the whole enc/dec stack
+        degraded_kwargs = dict(
+            N=32, M=48, num_slices=6, max_support_slices=5,
+            hyper_enc_widths=(48, 44, 40, 36, 32),
+            hyper_dec_widths=(32, 36, 40, 44, 48),
+            cc_widths=(32, 24, 20, 16),
+        )
+    model = create_model(args.model, **degraded_kwargs)  # cnn: full-size N=192, M=320, 10 slices
     # stf5-8 full size: the UNROLLED forward graph (ctx_slices x Swin
     # refiner stacks) overflows the remote compile helper (~2.7 MB MLIR,
     # NOTES_ROUND2.md). Init + forward-bench run the scan_charm variant
@@ -150,6 +249,7 @@ def main(argv=None):
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
     )
     jax.block_until_ready(variables)
+    print(f"bench: init done ({time.time() - _T0:.0f}s)", file=sys.stderr)
 
     # secondary: jitted eval forward throughput, measured as a SERIAL
     # chain (iteration i+1 consumes iteration i's x_hat) inside one
@@ -159,7 +259,7 @@ def main(argv=None):
     # (async python-loop timings read 98-427k img/s — physically
     # impossible), and only fetching bytes that data-depend on the whole
     # chain forces it to have run.
-    FWD_ITERS = 10
+    FWD_ITERS = 1 if degraded else 10
     on_tpu = jax.default_backend() not in ("cpu",)
 
     def measure_fwd(dtype_name="float32"):
@@ -179,7 +279,9 @@ def main(argv=None):
         t0 = time.time()
         float(jax.device_get(chain(variables["params"], x)))
         dt = time.time() - t0
-        costs = costs_of(chain, variables["params"], x)
+        # pricing lowers+compiles a second copy of the graph — skip when
+        # degraded (compile time is the fallback's whole budget)
+        costs = None if degraded else costs_of(chain, variables["params"], x)
         roof = None
         if costs:
             roof = RooflineReport(
@@ -189,14 +291,18 @@ def main(argv=None):
         return batch * FWD_ITERS / dt, roof
 
     fwd_ips, fwd_roof = measure_fwd()
+    print(f"bench: fwd measured ({time.time() - _T0:.0f}s)", file=sys.stderr)
 
     # bf16 activation pipeline (transforms bf16, entropy math f32) — the
     # training-forward fast path; the coder below stays on the f32 policy
-    from icm_tpu.nn import set_activation_dtype
+    if degraded:
+        fwd16_ips, fwd16_roof = fwd_ips, None  # skip: compile time > signal
+    else:
+        from icm_tpu.nn import set_activation_dtype
 
-    set_activation_dtype(jnp.bfloat16)
-    fwd16_ips, fwd16_roof = measure_fwd("bfloat16")
-    set_activation_dtype(None)
+        set_activation_dtype(jnp.bfloat16)
+        fwd16_ips, fwd16_roof = measure_fwd("bfloat16")
+        set_activation_dtype(None)
 
     # symmetric stream-group pipelining: decode overlaps one group's
     # device context step with the other's host rANS + link transfers
@@ -227,20 +333,29 @@ def main(argv=None):
 
     # warmup run doubles as the cost census: record every device program
     # the codec dispatches, price each via compiled cost_analysis
-    with _StageCostMeter(codec) as meter:
-        meter.phase = "enc"
+    enc_costs = dec_costs = None
+    if degraded:
         enc = codec.compress(x, pipeline_groups=groups)
-        meter.phase = "dec"
         dec = codec.decompress(
             enc["strings"], enc["shape"], pipeline_groups=groups
         )
         sync(dec["x_hat"])
-        meter.phase = None
-    enc_costs = meter.totals("enc")
-    dec_costs = meter.totals("dec")
+    else:
+        with _StageCostMeter(codec) as meter:
+            meter.phase = "enc"
+            enc = codec.compress(x, pipeline_groups=groups)
+            meter.phase = "dec"
+            dec = codec.decompress(
+                enc["strings"], enc["shape"], pipeline_groups=groups
+            )
+            sync(dec["x_hat"])
+            meter.phase = None
+        enc_costs = meter.totals("enc")
+        dec_costs = meter.totals("dec")
+    print(f"bench: codec warm ({time.time() - _T0:.0f}s)", file=sys.stderr)
 
     # median-of-iters: the remote-TPU link adds heavy per-run variance
-    iters = 5
+    iters = 1 if degraded else 5
     enc_ts, dec_ts = [], []
     for _ in range(iters):
         t0 = time.time()
@@ -269,6 +384,10 @@ def main(argv=None):
         "dec_images_per_sec": round(batch / t_dec, 2),
         "backend": jax.default_backend(),
     }
+    if degraded:
+        extra["error"] = "DEGRADED (tpu unavailable, cpu fallback): " + degraded
+        if degraded_kwargs:
+            extra["degraded_model_kwargs"] = degraded_kwargs
     if fwd_roof:
         extra["fwd_roofline"] = fwd_roof
     if fwd16_roof:
@@ -320,4 +439,20 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BaseException as e:  # noqa: BLE001 — the JSON line must ALWAYS land
+        if isinstance(e, SystemExit) and not e.code:
+            raise
+        if _DEGRADED_ENV not in os.environ:
+            # e.g. the tunnel died MID-run after a healthy probe: one retry
+            # on pure CPU (execve — does not return)
+            _reexec_degraded(f"{type(e).__name__}: {e}"[:300])
+        print(json.dumps({
+            "metric": "images_per_sec_encode_decode",
+            "value": None,
+            "unit": "img/s",
+            "vs_baseline": None,
+            "extra": {"error": f"{type(e).__name__}: {e}"[:500]},
+        }))
+        sys.exit(0)

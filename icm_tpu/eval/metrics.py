@@ -316,6 +316,84 @@ def compute_map(
     return out
 
 
+def _ap_envelope(recall: np.ndarray, precision: np.ndarray) -> float:
+    """py-faster-rcnn AP: monotone precision envelope integrated over the
+    recall steps (reference ``retinanet/csv_eval.py:38-63`` _compute_ap)."""
+    mrec = np.concatenate(([0.0], recall, [1.0]))
+    mpre = np.concatenate(([0.0], precision, [0.0]))
+    mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+    i = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1]))
+
+
+def csv_eval_ap(
+    dets: dict,
+    gts: dict,
+    num_classes: int,
+    iou_threshold: float = 0.5,
+    score_threshold: float = 0.05,
+    max_detections: int = 100,
+):
+    """Per-class AP at a single IoU threshold — the reference's standalone
+    CSV detection-eval protocol (``retinanet/csv_eval.py:152-259``): per
+    image keep the top-``max_detections`` above ``score_threshold``, match
+    greedily in descending-score order against same-class GT (one GT, one
+    match), then sort all detections globally by score and integrate the
+    py-faster-rcnn precision envelope.
+
+    dets/gts: {image_key: {"boxes" (N,4) xyxy, "scores"?, "labels"}}.
+    Returns {label_id: (ap, num_annotations)} — num_annotations == 0 maps to
+    (0, 0) like the reference.
+    """
+    out = {}
+    keys = sorted(gts.keys(), key=str)
+    for label in range(num_classes):
+        fps, tps, scores = [], [], []
+        num_annotations = 0
+        for k in keys:
+            g = gts[k]
+            ann = np.asarray(g["boxes"], np.float64).reshape(-1, 4)[
+                np.asarray(g["labels"]).reshape(-1) == label
+            ]
+            num_annotations += ann.shape[0]
+            d = dets.get(k)
+            if d is None:
+                continue
+            ds = np.asarray(d["scores"], np.float64).reshape(-1)
+            db = np.asarray(d["boxes"], np.float64).reshape(-1, 4)
+            dl = np.asarray(d["labels"]).reshape(-1)
+            keep = ds > score_threshold
+            order = np.argsort(-ds[keep])[:max_detections]
+            db, ds, dl = db[keep][order], ds[keep][order], dl[keep][order]
+            cls_mask = dl == label
+            matched = set()
+            for box, score in zip(db[cls_mask], ds[cls_mask]):
+                scores.append(score)
+                if ann.shape[0] == 0:
+                    fps.append(1.0)
+                    tps.append(0.0)
+                    continue
+                overlaps = _box_iou(box[None], ann)[0]
+                j = int(np.argmax(overlaps))
+                if overlaps[j] >= iou_threshold and j not in matched:
+                    fps.append(0.0)
+                    tps.append(1.0)
+                    matched.add(j)
+                else:
+                    fps.append(1.0)
+                    tps.append(0.0)
+        if num_annotations == 0:
+            out[label] = (0.0, 0)
+            continue
+        order = np.argsort(-np.asarray(scores))
+        fp = np.cumsum(np.asarray(fps)[order])
+        tp = np.cumsum(np.asarray(tps)[order])
+        recall = tp / num_annotations
+        precision = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+        out[label] = (_ap_envelope(recall, precision), int(num_annotations))
+    return out
+
+
 # VOC-style palette for mask visualization (reference
 # deeplab/high_utils/visualizer.py equivalent, torch/matplotlib-free)
 def colorize_mask(mask: np.ndarray) -> np.ndarray:

@@ -361,3 +361,58 @@ def test_eval_stf3_auto_causal():
         assert bool(getattr(model, "causal", False)) is expect_causal, (
             name, flags
         )
+
+
+def test_eval_cli_detection_csv(coco_root, tmp_path):
+    """Reference csv_eval.py:152-259 protocol wired through the CLI:
+    per-class AP over a CSVDataset."""
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import main
+
+    img0 = os.path.join(coco_root, "val2017", "im0.jpg")
+    ann = tmp_path / "ann.csv"
+    ann.write_text(f"{img0},10,10,40,30,person\n")
+    cls = tmp_path / "cls.csv"
+    cls.write_text("person,0\ndog,1\n")
+    kw = json.loads(TINY_CNN)
+    kw.update(num_classes=2, task_block="basic", task_layers=[1, 1, 1, 1])
+    res = main(
+        [
+            "detection", "-d", str(ann), "-m", "cnn2",
+            "--dataset-type", "csv", "--class-list", str(cls),
+            "--csv-min-side", "64", "--csv-max-side", "64",
+            "--model-kwargs", json.dumps(kw),
+        ]
+    )
+    assert set(res["per_class_AP"]) == {"person", "dog"}
+    assert 0.0 <= res["mAP"] <= 1.0
+
+
+def test_eval_cli_image_czigzag_pair_dir(image_root):
+    """czigzag image mode through the real CzigzagCodec, pair conditioning
+    from --pair-dir (reference datasets/utils.py:92-157 convention)."""
+    import shutil
+
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import main
+
+    pair_dir = os.path.join(image_root, "up_x4")
+    os.makedirs(pair_dir, exist_ok=True)
+    test_dir = os.path.join(image_root, "test")
+    for name in os.listdir(test_dir):
+        shutil.copy(os.path.join(test_dir, name),
+                    os.path.join(pair_dir, name))
+    kw = dict(
+        embed_dim=8, depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8],
+        window_size=4, patch_size=2, drop_path_rate=0.0,
+        num_slices=2, max_support=3, support_num=3,
+        hyper_depths=[1, 1], cc_widths=[24, 16],
+    )
+    res = main(
+        [
+            "image", "-d", image_root, "--split", "test",
+            "-m", "czigzag", "--pair-dir", "up_x4",
+            "--model-kwargs", json.dumps(kw), "--max-images", "1",
+        ]
+    )
+    assert res["bpp"] > 0 and res["enc_time"] > 0 and res["dec_time"] > 0

@@ -193,3 +193,42 @@ def test_csv_dataset(tmp_path, fake_coco):
     assert len(ds) == 1 and ds.num_classes == 2
     s = ds[0]
     assert s["annot"].shape == (2, 5)
+
+
+def test_csv_eval_ap_protocol():
+    """Reference csv_eval.py semantics: greedy score-order matching at one
+    IoU, one GT one match, py-faster-rcnn AP envelope."""
+    from icm_tpu.eval import csv_eval_ap
+
+    gts = {
+        "a": {"boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]],
+                                np.float32),
+              "labels": np.array([0, 0])},
+    }
+    # perfect: both GT matched -> AP 1
+    dets = {
+        "a": {"boxes": gts["a"]["boxes"].copy(),
+              "scores": np.array([0.9, 0.8]),
+              "labels": np.array([0, 0])},
+    }
+    aps = csv_eval_ap(dets, gts, num_classes=2)
+    assert aps[0] == (1.0, 2)
+    assert aps[1] == (0.0, 0)  # no annotations -> (0, 0) like the reference
+
+    # duplicate detections on one GT: second is a false positive
+    dets2 = {
+        "a": {"boxes": np.array([[0, 0, 10, 10], [0, 0, 10, 10]],
+                                np.float32),
+              "scores": np.array([0.9, 0.8]),
+              "labels": np.array([0, 0])},
+    }
+    ap, n = csv_eval_ap(dets2, gts, num_classes=1)[0]
+    assert n == 2 and 0.0 < ap < 1.0
+
+    # below score threshold -> dropped entirely
+    dets3 = {
+        "a": {"boxes": gts["a"]["boxes"].copy(),
+              "scores": np.array([0.01, 0.01]),
+              "labels": np.array([0, 0])},
+    }
+    assert csv_eval_ap(dets3, gts, num_classes=1)[0] == (0.0, 2)

@@ -39,6 +39,28 @@ def parse_args(argv=None):
     p.add_argument("-m", "--model", default="cnn")
     p.add_argument("-d", "--dataset", required=True)
     p.add_argument("--split", default="val2017")
+    p.add_argument(
+        "--dataset-type", choices=["coco", "csv"], default="coco",
+        help="detection only: 'csv' evaluates a CSVDataset with the "
+        "reference's standalone per-class-AP protocol "
+        "(retinanet/csv_eval.py:152-259); --dataset is then the "
+        "annotations CSV and --class-list the class-map CSV",
+    )
+    p.add_argument("--class-list", default=None,
+                   help="class-map CSV for --dataset-type csv")
+    p.add_argument("--csv-root", default="",
+                   help="image root prefix for --dataset-type csv")
+    p.add_argument("--csv-min-side", type=int, default=256)
+    p.add_argument("--csv-max-side", type=int, default=256)
+    p.add_argument("--iou-threshold", type=float, default=0.5,
+                   help="csv eval match IoU (csv_eval.py evaluate default)")
+    p.add_argument(
+        "--pair-dir", default=None,
+        help="image mode, czigzag only: directory of same-named "
+        "conditioning images (the reference's paired-dataset convention, "
+        "datasets/utils.py:92-157); relative names resolve under the "
+        "dataset root",
+    )
     p.add_argument("--checkpoint", default=None)
     p.add_argument(
         "--torch-checkpoint", default=None,
@@ -110,7 +132,7 @@ def load_model_and_params(args, example):
 CODEC_KINDS = {
     "stf9": "crc", "stf11": "crc", "stf12": "crc", "stf14": "crc",
     "stf13": "crc3", "seg_oj_ICM": "segoj", "stf2": "stf2",
-    "stf3": "masked", "stf4": "masked",
+    "stf3": "masked", "stf4": "masked", "czigzag": "czigzag",
 }
 
 
@@ -174,18 +196,24 @@ def build_codec(name, model, variables):
         from icm_tpu.models import Stf3Codec
 
         return Stf3Codec(model, variables), kind
+    if kind == "czigzag":
+        from icm_tpu.models.crc_codec import CzigzagCodec
+
+        return CzigzagCodec(model, variables), kind
     from icm_tpu.models import CharmCodec
 
     return CharmCodec(model, variables), kind
 
 
-def codec_roundtrip(codec, kind, x):
+def codec_roundtrip(codec, kind, x, up=None):
     """compress -> decompress; returns (x_hat, bits, t_enc, t_dec)."""
     t0 = time.time()
-    enc = codec.compress(x)
+    enc = codec.compress(x, up) if kind == "czigzag" else codec.compress(x)
     t_enc = time.time() - t0
     t0 = time.time()
-    if kind == "crc":
+    if kind == "czigzag":
+        dec = codec.decompress(enc["strings"], enc["shape"], up)
+    elif kind == "crc":
         dec = codec.decompress(enc["strings"], enc["shape"], enc["human_shape"])
     elif kind == "crc3":
         dec = codec.decompress(
@@ -213,16 +241,29 @@ def eval_image(args):
     from icm_tpu.eval import ms_ssim, psnr
     from icm_tpu.train.losses import compute_bpp
 
-    if args.model == "czigzag":
-        raise SystemExit(
-            "czigzag conditions on a paired up_x4 image (see "
-            "ImageFolderCzigzag + CzigzagCodec); the image eval mode "
-            "has no pair source — drive it via icm_tpu.models.crc_codec."
-            "CzigzagCodec directly."
+    paired = args.model == "czigzag"
+    if paired:
+        if not args.pair_dir:
+            raise SystemExit(
+                "czigzag conditions on a paired up_x4 image; pass "
+                "--pair-dir (directory of same-named conditioning images, "
+                "the reference's paired-dataset convention, "
+                "datasets/utils.py:92-157)"
+            )
+        from icm_tpu.data import ImageFolderCzigzag
+
+        ds = ImageFolderCzigzag(
+            args.dataset, args.split, context_dirname=args.pair_dir
         )
-    ds = ImageFolder(args.dataset, args.split)
-    first = pad_to_multiple(ds[0], 64)[0][None]
-    model, variables = load_model_and_params(args, (jnp.asarray(first),))
+        img0, ctx0 = ds[0]
+        example = (
+            jnp.asarray(pad_to_multiple(img0, 64)[0][None]),
+            jnp.asarray(pad_to_multiple(ctx0, 64)[0][None]),
+        )
+    else:
+        ds = ImageFolder(args.dataset, args.split)
+        example = (jnp.asarray(pad_to_multiple(ds[0], 64)[0][None]),)
+    model, variables = load_model_and_params(args, example)
 
     codec = None
     kind = CODEC_KINDS.get(args.model, "charm")
@@ -236,15 +277,21 @@ def eval_image(args):
     results = []
     n = min(len(ds), args.max_images or len(ds))
     for i in range(n):
-        img = ds[i]
+        up = None
+        if paired:
+            img, ctx = ds[i]
+            up = jnp.asarray(pad_to_multiple(ctx, 64)[0][None])
+        else:
+            img = ds[i]
         padded, (H, W) = pad_to_multiple(img, 64)
         x = jnp.asarray(padded[None])
         num_pixels = H * W
         if codec is not None:
-            x_hat, bits, t_enc, t_dec = codec_roundtrip(codec, kind, x)
+            x_hat, bits, t_enc, t_dec = codec_roundtrip(codec, kind, x, up)
             bpp = bits / num_pixels
         else:
-            out = model.apply(variables, x, training=False)
+            fargs = (x, up) if paired else (x,)
+            out = model.apply(variables, *fargs, training=False)
             bpp = float(compute_bpp(out["likelihoods"], num_pixels))
             x_hat = jnp.clip(out["x_hat"], 0, 1)
             t_enc = t_dec = 0.0
@@ -274,10 +321,21 @@ def eval_detection(args):
 
     from icm_tpu.data import CocoDetectionDataset
     from icm_tpu.data.transforms import pad_to_multiple
-    from icm_tpu.eval import compute_map
+    from icm_tpu.eval import compute_map, csv_eval_ap
     from icm_tpu.tasks.retinanet import decode_detections
 
-    ds = CocoDetectionDataset(args.dataset, args.split)
+    if args.dataset_type == "csv":
+        # reference standalone CSV eval loop (retinanet/csv_eval.py:152-259)
+        from icm_tpu.data.csv_dataset import CSVDataset
+
+        if not args.class_list:
+            raise SystemExit("--dataset-type csv requires --class-list")
+        ds = CSVDataset(
+            args.dataset, args.class_list, root=args.csv_root,
+            min_side=args.csv_min_side, max_side=args.csv_max_side,
+        )
+    else:
+        ds = CocoDetectionDataset(args.dataset, args.split)
     s0 = ds[0]
     x0 = pad_to_multiple(s0["img"], 64)[0][None]
     model, variables = load_model_and_params(args, (jnp.asarray(x0),))
@@ -318,7 +376,7 @@ def eval_detection(args):
             reg = out["Student_regression"]
             anchors = out["Student_anchors"]
         scores, labels, boxes = decode_detections(cls, reg, anchors, (H, W))
-        iid = int(s["image_id"])
+        iid = s["name"] if args.dataset_type == "csv" else int(s["image_id"])
         dets[iid] = {
             "boxes": boxes / s["scale"],
             "scores": scores,
@@ -327,6 +385,26 @@ def eval_detection(args):
         a = s["annot"]
         gts[iid] = {"boxes": a[:, :4] / s["scale"], "labels": a[:, 4]}
         print(f"[{i + 1}/{n}] {len(scores)} detections")
+
+    if args.dataset_type == "csv":
+        aps = csv_eval_ap(
+            dets, gts, ds.num_classes, iou_threshold=args.iou_threshold
+        )
+        print("\nmAP:")
+        per_class = {}
+        for label, (ap, n_ann) in aps.items():
+            name = ds.labels.get(label, str(label))
+            per_class[name] = ap
+            print(f"{name}: {ap}  ({n_ann} annotations)")
+        with_ann = [ap for ap, n_ann in aps.values() if n_ann > 0]
+        res = {
+            "per_class_AP": per_class,
+            "mAP": float(np.mean(with_ann)) if with_ann else 0.0,
+        }
+        if total_pixels:
+            res["bpp"] = total_bits / total_pixels
+        print("mAP:", json.dumps(res))
+        return res
 
     res = compute_map(dets, gts, class_names=getattr(ds, "class_names", None))
     if total_pixels:
