@@ -1,0 +1,256 @@
+"""Zero-round-trip codec: entropy coding ON the device.
+
+``CharmCodec`` (``codec.py``) mirrors the reference's coder split — float
+context on the accelerator, rANS on the host (reference ``cnn.py:306-327``
+crosses that boundary once per slice on decode). On a remote-TPU link the
+10-24 serial device->host index fetches dominate decode wall-clock
+(BASELINE.md: decode MFU 1.9-6.7%). ``DeviceWireCodec`` eliminates the
+boundary: symbols are entropy-decoded by the lane-parallel integer rANS in
+``coding/device_rans.py`` inside the device queue, so
+
+  - decompress() = one bitstream upload + a chain of ASYNC device
+    dispatches (context conv, rANS decode, context conv, ...) + one final
+    x_hat fetch — zero intermediate round-trips;
+  - compress()   = async forward/quantize dispatches + on-device rANS
+    encode + two small fetches (lengths, then exactly the stream words).
+
+Bitexactness: the float context programs are the PARENT's jitted
+per-slice functions, shared verbatim between encoder and decoder (the
+framework's standing invariant), and the device coder is pure integer
+arithmetic — so encoder and decoder derive identical scale rows by
+construction and the streams cannot desync.
+
+The wire format is this framework's TPU-native one (per-lane rANS32
+streams; see device_rans.py), NOT the reference-interoperable host format
+— use ``CharmCodec(ref_layout=True)`` for reference interchange.
+
+Wire layout per image, one bytes object per stream list entry:
+  uint32 n_lanes | uint32 n_words | uint16 lengths[n_lanes] |
+  uint16 words[n_words]
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding.device_rans import (
+    assemble_streams,
+    build_device_tables,
+    decode_lanes,
+    encode_lanes,
+    lane_offsets,
+)
+from .codec import CharmCodec
+
+
+def _pack_wire(lengths: np.ndarray, words: np.ndarray) -> bytes:
+    head = struct.pack("<II", lengths.shape[0], words.shape[0])
+    return head + lengths.astype("<u4").tobytes() + words.astype(
+        "<u2"
+    ).tobytes()
+
+
+def _unpack_wire(blob: bytes):
+    n_lanes, n_words = struct.unpack_from("<II", blob, 0)
+    lengths = np.frombuffer(blob, "<u4", count=n_lanes, offset=8).astype(
+        np.int64
+    )
+    words = np.frombuffer(
+        blob, "<u2", count=n_words, offset=8 + 4 * n_lanes
+    )
+    return lengths, words
+
+
+def _round_up(n: int, q: int = 4096) -> int:
+    return ((n + q - 1) // q) * q
+
+
+class DeviceWireCodec(CharmCodec):
+    """ChARM codec with on-device entropy coding.
+
+    ``lanes_per_image``: independent rANS streams per image for the y
+    latent (more lanes = wider decode vectorization but +4 B/lane flush
+    overhead; the per-slice serial depth is ``h*w/lanes * C_slice``).
+    z uses one lane per hyper-latent pixel.
+    """
+
+    def __init__(self, *args, lanes_per_image: int = 256, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.ref_layout:
+            raise ValueError(
+                "DeviceWireCodec defines its own wire; ref_layout applies "
+                "to the host coder only"
+            )
+        self.lanes_per_image = lanes_per_image
+        self._gauss_dev = build_device_tables(self.tables.gaussian)
+        self._eb_dev = build_device_tables(self._z_tables())
+
+        gdev, edev = self._gauss_dev, self._eb_dev
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def to_lanes(a, n_l):
+            """(B, h, w, C) -> (ppl*C, B*n_l) step-major lane layout."""
+            B, h, w, C = a.shape
+            ppl = (h * w) // n_l
+            a = a.reshape(B, n_l, ppl, C).transpose(2, 3, 0, 1)
+            return a.reshape(ppl * C, B * n_l)
+
+        @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+        def from_lanes(vals, B, h, w, C):
+            """(ppl*C, B*n_l) decoded values -> (B, h, w, C)."""
+            n_l = vals.shape[1] // B
+            ppl = (h * w) // n_l
+            a = vals.reshape(ppl, C, B, n_l).transpose(2, 3, 0, 1)
+            return a.reshape(B, h, w, C)
+
+        @jax.jit
+        def encode_y(vals_T, rows_T):
+            return encode_lanes(vals_T, rows_T, gdev)
+
+        @jax.jit
+        def encode_z(z_sym):
+            B, zh, zw, C = z_sym.shape
+            vals = z_sym.transpose(3, 0, 1, 2).reshape(C, B * zh * zw)
+            rows = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32)[:, None], vals.shape
+            )
+            return encode_lanes(vals, rows, edev)
+
+        @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+        def decode_z(words, off, B, zh, zw):
+            C = edev.num_rows
+            rows = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32)[:, None], (C, B * zh * zw)
+            )
+            vals, _, _ = decode_lanes(words, off, rows, edev)
+            return vals.reshape(C, B, zh, zw).transpose(1, 2, 3, 0)
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def decode_y_slice(words, off, index_u8, n_l, state, ptr):
+            B, h, w, C = index_u8.shape
+            rows = to_lanes(index_u8.astype(jnp.int32), n_l)
+            vals, state, ptr = decode_lanes(
+                words, off, rows, gdev, state=state, ptr=ptr
+            )
+            return from_lanes(vals, B, h, w, C), state, ptr
+
+        self._to_lanes = to_lanes
+        self._encode_y = encode_y
+        self._encode_z = encode_z
+        self._decode_z_dev = decode_z
+        self._decode_y_slice = decode_y_slice
+
+    def _n_lanes(self, h: int, w: int) -> int:
+        n_l = min(self.lanes_per_image, h * w)
+        while (h * w) % n_l:
+            n_l -= 1
+        return n_l
+
+    # --- compress ----------------------------------------------------------
+    def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
+        pend = self._compress_dispatch(x)
+        v = self.variables
+        B = x.shape[0]
+        sym32s, idxs = pend["sym32s"], pend["idxs"]
+        _, h, w, _ = sym32s[0].shape
+        n_l = self._n_lanes(h, w)
+
+        vals_T = jnp.concatenate(
+            [self._to_lanes(s, n_l) for s in sym32s], axis=0
+        )
+        rows_T = jnp.concatenate(
+            [self._to_lanes(i.astype(jnp.int32), n_l) for i in idxs], axis=0
+        )
+        ybuf, ylen = self._encode_y(vals_T, rows_T)
+        zbuf, zlen = self._encode_z(pend["z_sym"])
+
+        # fetch 1: per-lane lengths (tiny); fetch 2: the word buffers
+        # sliced to the actual maximum — ~the bitstream size, not the
+        # worst-case escape bound
+        ylen_h, zlen_h = jax.device_get((ylen, zlen))
+        ylen_h = np.asarray(ylen_h)
+        zlen_h = np.asarray(zlen_h)
+        ybuf_h = np.asarray(jax.device_get(ybuf[:, : int(ylen_h.max())]))
+        zbuf_h = np.asarray(jax.device_get(zbuf[:, : int(zlen_h.max())]))
+
+        y_strings, z_strings = [], []
+        n_lz = zbuf_h.shape[0] // B
+        for b in range(B):
+            yl = ylen_h[b * n_l : (b + 1) * n_l]
+            yw = assemble_streams(ybuf_h[b * n_l : (b + 1) * n_l], yl)
+            y_strings.append(_pack_wire(yl, yw))
+            zl = zlen_h[b * n_lz : (b + 1) * n_lz]
+            zw = assemble_streams(zbuf_h[b * n_lz : (b + 1) * n_lz], zl)
+            z_strings.append(_pack_wire(zl, zw))
+
+        out = {"strings": [y_strings, z_strings], "shape": pend["shape"]}
+        if return_debug:
+            y_hat, x_hat = self._step_assemble(
+                v, self.model.ctx_slices - 1, pend["y_hat_slices"],
+                *pend["last_args"],
+            )
+            out["y_hat"] = y_hat
+            out["z_hat"] = pend["z_hat"]
+        return out
+
+    # --- decompress ---------------------------------------------------------
+    @staticmethod
+    def _upload_words(blobs: List[bytes], sharding=None):
+        """Concatenate per-image wires into one flat padded word array +
+        per-lane offsets. Bucketed padding: only the integer decode
+        programs see the words shape, so recompiles per bucket cannot
+        perturb the float context."""
+        lens, words, offs = [], [], []
+        base = 0
+        for blob in blobs:
+            lengths, w = _unpack_wire(blob)
+            offs.append(lane_offsets(lengths) + base)
+            base += int(w.shape[0])
+            lens.append(lengths)
+            words.append(w)
+        flat = np.concatenate(words)
+        pad = _round_up(max(flat.shape[0], 1))
+        flat = np.pad(flat, (0, pad - flat.shape[0]))
+        dev_words = jnp.asarray(flat.astype(np.int32))
+        dev_off = jnp.asarray(np.concatenate(offs).astype(np.int32))
+        return dev_words, dev_off
+
+    def _decompress_group(self, y_strings, z_strings, shape) -> Dict[str, Any]:
+        v = self.variables
+        zh, zw = shape
+        B = len(y_strings)
+
+        zwords, zoff = self._upload_words(z_strings)
+        z_sym = self._decode_z_dev(zwords, zoff, B, zh, zw)
+        z_hat = self._z_dequant(v, z_sym)
+        state = self._ctx_prepare(v, z_hat)
+
+        ywords, yoff = self._upload_words(y_strings)
+        y_hat_slices: List[jax.Array] = []
+        mu, _, index, mean_support = self._slice_context(v, 0, state, [])
+        S = self.model.ctx_slices
+        rstate = rptr = None
+        n_l = None
+        for i in range(S):
+            if n_l is None:
+                n_l = self._n_lanes(index.shape[1], index.shape[2])
+            sym, rstate, rptr = self._decode_y_slice(
+                ywords, yoff, index, n_l, rstate, rptr
+            )
+            if i + 1 < S:
+                out = self._step(
+                    v, i, state, y_hat_slices, sym, mu, mean_support
+                )
+                y_hat_slices.append(out[0])
+                mu, index, mean_support = out[1], out[2], out[3]
+            else:
+                y_hat, x_hat = self._step_assemble(
+                    v, i, y_hat_slices, sym, mu, mean_support
+                )
+        return {"x_hat": x_hat, "y_hat": y_hat}
