@@ -198,6 +198,21 @@ def main(argv=None):
     )
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument(
+        "--wire", choices=("host", "device"), default="host",
+        help="host = reference-interoperable coder (host rANS, per-slice "
+        "link round-trips on decode); device = TPU-native wire with "
+        "on-device lane-parallel rANS (zero intermediate round-trips).",
+    )
+    p.add_argument(
+        "--lanes", type=int, default=256,
+        help="device wire: rANS streams per image (see DeviceWireCodec)",
+    )
+    p.add_argument(
+        "--narrow", type=float, default=1.0,
+        help="encoder-side residual scaling (<1 = trained-like symbol "
+        "statistics from untrained weights; see codec.enc_round)",
+    )
     args = p.parse_args(argv)
     size = args.size
     batch = args.batch
@@ -324,7 +339,16 @@ def main(argv=None):
         # host-array args on EVERY call — 24 dispatches x ~75 MB of params
         # over the tunnel dominated the first stf5 codec measurement
         variables = jax.device_put({"params": params})
-    codec = CharmCodec(model, variables)
+    if args.wire == "device":
+        from icm_tpu.models.device_codec import DeviceWireCodec
+
+        codec = DeviceWireCodec(
+            model, variables, lanes_per_image=args.lanes,
+            narrow=args.narrow,
+        )
+        groups = 1  # no host phases left to pipeline against
+    else:
+        codec = CharmCodec(model, variables, narrow=args.narrow)
 
     def sync(a):
         # block_until_ready does not actually wait on this remote
@@ -377,6 +401,8 @@ def main(argv=None):
     extra = {
         "batch": batch,
         "model": args.model,
+        "wire": args.wire,
+        "narrow": args.narrow,
         "bpp_untrained": round(bpp, 3),
         "fwd_images_per_sec": round(fwd_ips, 1),
         "fwd_bf16_images_per_sec": round(fwd16_ips, 1),

@@ -47,6 +47,22 @@ from ..entropy import (
 from .base import CodecTables
 
 
+def enc_round(diff, narrow: float = 1.0):
+    """Encoder-side symbol quantization with an optional measurement mode.
+
+    ``narrow < 1`` scales residuals before rounding so symbols concentrate
+    in {-1, 0, 1} the way TRAINED streams do (~0.3-1 bpp) even under
+    random init (VERDICT r3 #3: untrained weights give 7-23 bpp
+    escape-heavy streams that benchmark the coder on unrealistic
+    statistics). The roundtrip stays bitexact because every codec in this
+    family reconstructs ``y_hat = sym + mu`` from the coded symbols on
+    BOTH sides — only rate/distortion of the measurement changes, never
+    coder consistency. ``narrow=1`` is the exact default (identity)."""
+    if narrow != 1.0:
+        diff = diff * jnp.float32(narrow)
+    return jnp.round(diff)
+
+
 def build_codec_tables(model, variables, precision: int = 16) -> CodecTables:
     """Parity: reference ``model.update()`` (``cnn.py:133-138`` +
     ``base.py:41-60``) — refresh Gaussian scale-table CDFs and every
@@ -156,6 +172,7 @@ class CharmCodec:
         tables: CodecTables | None = None,
         ref_layout: bool = False,
         data_sharding=None,
+        narrow: float = 1.0,
     ):
         """``data_sharding``: optional ``jax.sharding.Sharding`` for the
         batch axis. Shard the input to :meth:`compress` with it and the
@@ -167,6 +184,7 @@ class CharmCodec:
         self.variables = variables
         self.ref_layout = ref_layout
         self.data_sharding = data_sharding
+        self.narrow = narrow  # see enc_round (1.0 = exact default)
         self.tables = tables or build_codec_tables(model, variables)
         self._scale_table_dev = jnp.asarray(self.tables.scale_table)
 
@@ -176,10 +194,12 @@ class CharmCodec:
         def analyze(v, x):
             return mdl.apply(v, x, method=mdl.analyze)
 
+        narrow_f = self.narrow
+
         @jax.jit
         def z_symbols(v, z):
             med = mdl.apply(v, method=mdl.eb_medians)
-            sym = jnp.round(z - med).astype(jnp.int32)
+            sym = enc_round(z - med, narrow_f).astype(jnp.int32)
             ovf = jnp.any(jnp.abs(sym) > 127)
             return sym.astype(jnp.int8), ovf, sym
 
@@ -211,7 +231,7 @@ class CharmCodec:
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def slice_encode(v, i, y_slice, mu, mean_support):
-            sym = jnp.round(y_slice - mu).astype(jnp.int32)
+            sym = enc_round(y_slice - mu, narrow_f).astype(jnp.int32)
             y_hat = sym.astype(mu.dtype) + mu
             lrp = mdl.apply(v, i, mean_support, y_hat, method=mdl.slice_lrp)
             return sym, y_hat + lrp
@@ -229,7 +249,7 @@ class CharmCodec:
             is 76% of encode time on remote hosts, tools/
             profile_encode.py) with an overflow flag: bypass escapes can
             exceed int8, re-fetch exact int32 for that slice then."""
-            sym = jnp.round(y_slice - mu).astype(jnp.int32)
+            sym = enc_round(y_slice - mu, narrow_f).astype(jnp.int32)
             ovf = jnp.any(jnp.abs(sym) > 127)
             return sym.astype(jnp.int8), ovf, sym
 

@@ -30,14 +30,17 @@ import numpy as np
 from .. import coding
 from ..entropy import build_indexes
 from .base import CodecTables
-from .codec import _eb_indexes, build_codec_tables
+from .codec import _eb_indexes, build_codec_tables, enc_round
 from .pipelining import group_bounds, merge_outputs, run_groups, split_strings
 
 
 class CRCCodec:
     """compress/decompress for ``ConditionalResidualCoding`` (stf9/stf11)."""
 
-    def __init__(self, model, variables, tables: CodecTables | None = None):
+    def __init__(self, model, variables,
+                 tables: CodecTables | None = None,
+                 narrow: float = 1.0):
+        self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
@@ -61,7 +64,7 @@ class CRCCodec:
         from .base import sliding_support
 
         self._machine = _CharmLayerDriver(
-            model, self._scale_table_dev, _coder, "machine"
+            model, self._scale_table_dev, _coder, "machine", narrow=narrow
         )
         self._support = sliding_support(model.max_support)
 
@@ -74,7 +77,7 @@ class CRCCodec:
         @jax.jit
         def human_z_symbols(v, z):
             med = mdl.apply(v, method=mdl.human_eb_medians)
-            return jnp.round(z - med).astype(jnp.int32)
+            return enc_round(z - med, narrow).astype(jnp.int32)
 
         @jax.jit
         def human_z_dequant(v, sym):
@@ -95,7 +98,7 @@ class CRCCodec:
 
         @jax.jit
         def human_y_symbols(v, y, means):
-            return jnp.round(y - means).astype(jnp.int32)
+            return enc_round(y - means, narrow).astype(jnp.int32)
 
         @jax.jit
         def human_decode(v, sym, means, y_hat):
@@ -163,7 +166,8 @@ class CRCCodec:
         zh, zw = z.shape[1], z.shape[2]
 
         z_sym = np.asarray(jax.device_get(
-            jnp.round(z - self._machine.eb_medians(v)).astype(jnp.int32)
+            enc_round(z - self._machine.eb_medians(v), self.narrow)
+            .astype(jnp.int32)
         ))
         z_strings = self._code_z(z_sym, "entropy_bottleneck")
         z_hat = jnp.asarray(z_sym, jnp.float32) + self._machine.eb_medians(v)
@@ -246,7 +250,8 @@ class _CharmLayerDriver:
     """Jitted stage functions for one ZigzagCharmCoder-backed layer
     reachable as ``getter(model)`` (e.g. ``lambda m: m.seg_coder``)."""
 
-    def __init__(self, model, scale_table_dev, getter, name: str):
+    def __init__(self, model, scale_table_dev, getter, name: str,
+                 narrow: float = 1.0):
         import functools
 
         self.model = model
@@ -282,7 +287,7 @@ class _CharmLayerDriver:
             def f(m):
                 c = getter(m)
                 if encode:
-                    sym = jnp.round(sym_or_y - mu).astype(jnp.int32)
+                    sym = enc_round(sym_or_y - mu, narrow).astype(jnp.int32)
                 else:
                     sym = sym_or_y
                 y_hat = sym.astype(mu.dtype) + mu
@@ -294,7 +299,7 @@ class _CharmLayerDriver:
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def quantize(v, i, y_slice, mu):
-            sym = jnp.round(y_slice - mu).astype(jnp.int32)
+            sym = enc_round(y_slice - mu, narrow).astype(jnp.int32)
             return sym.astype(jnp.int16), jnp.any(jnp.abs(sym) > 32767), sym
 
         @functools.partial(jax.jit, static_argnums=(1, 2, 8))
@@ -387,18 +392,21 @@ class SegOjCodec:
     (cat(x_hat, x)) is encoder-side only — the decoder needs just the seg
     bitstreams plus the machine reconstruction for the residual add."""
 
-    def __init__(self, model, variables, tables: CodecTables | None = None):
+    def __init__(self, model, variables,
+                 tables: CodecTables | None = None,
+                 narrow: float = 1.0):
         from .base import sliding_support
 
+        self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
         st = jnp.asarray(self.tables.scale_table)
         self.machine = _CharmLayerDriver(
-            model, st, lambda m: m.coder, "machine"
+            model, st, lambda m: m.coder, "machine", narrow=narrow
         )
         self.seg = _CharmLayerDriver(
-            model, st, lambda m: m.seg_coder, "seg"
+            model, st, lambda m: m.seg_coder, "seg", narrow=narrow
         )
         self._support = sliding_support(model.max_support)
         mdl = model
@@ -452,7 +460,9 @@ class SegOjCodec:
     def _encode_layer(self, driver, v, y, z_key):
         z = driver.h_a(v, y)
         med = driver.eb_medians(v)
-        z_sym = np.asarray(jax.device_get(jnp.round(z - med).astype(jnp.int32)))
+        z_sym = np.asarray(
+            jax.device_get(enc_round(z - med, self.narrow).astype(jnp.int32))
+        )
         z_strings = self._code_z(z_sym, z_key)
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         state = driver.ctx_prepare(v, z_hat)
@@ -551,17 +561,22 @@ class CRC3Codec:
     human_z]. All conditioning (masks, context decoders) derives from the
     decoded machine/seg latents, so the human layer needs no side info."""
 
-    def __init__(self, model, variables, tables: CodecTables | None = None):
+    def __init__(self, model, variables,
+                 tables: CodecTables | None = None,
+                 narrow: float = 1.0):
         from .base import sliding_support
 
+        self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
         st = jnp.asarray(self.tables.scale_table)
         self.machine = _CharmLayerDriver(
-            model, st, lambda m: m.machine.coder, "machine"
+            model, st, lambda m: m.machine.coder, "machine", narrow=narrow
         )
-        self.seg = _CharmLayerDriver(model, st, lambda m: m.seg_coder, "seg")
+        self.seg = _CharmLayerDriver(
+            model, st, lambda m: m.seg_coder, "seg", narrow=narrow
+        )
         self._support = sliding_support(model.max_support)
         mdl = model
 
@@ -640,13 +655,17 @@ class CRC3Codec:
         human_y, human_z = self._human_encode(v, x, y_hat, seg_y_hat)
         med = self._human_eb_medians(v)
         hz_sym = np.asarray(
-            jax.device_get(jnp.round(human_z - med).astype(jnp.int32))
+            jax.device_get(
+                enc_round(human_z - med, self.narrow).astype(jnp.int32)
+            )
         )
         hz_s = self._code_z(hz_sym, "entropy_bottleneck_human")
         hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
         means, scales, index = self._human_hyper_synth(v, hz_hat)
         hy_sym = np.asarray(
-            jax.device_get(jnp.round(human_y - means).astype(jnp.int32))
+            jax.device_get(
+                enc_round(human_y - means, self.narrow).astype(jnp.int32)
+            )
         )
         gt = self.tables.gaussian
         B = x.shape[0]
@@ -720,11 +739,14 @@ class CzigzagCodec:
     strings = [y, z]. New design — the reference ships no working coder
     for this model (SURVEY.md §0)."""
 
-    def __init__(self, model, variables, tables: CodecTables | None = None):
+    def __init__(self, model, variables,
+                 tables: CodecTables | None = None,
+                 narrow: float = 1.0):
         import functools
 
         from .base import sliding_support
 
+        self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
@@ -768,7 +790,7 @@ class CzigzagCodec:
         @functools.partial(jax.jit, static_argnums=(1, 5))
         def slice_code(v, i, sym_or_y, mu, mean_support, encode):
             if encode:
-                sym = jnp.round(sym_or_y - mu).astype(jnp.int32)
+                sym = enc_round(sym_or_y - mu, narrow).astype(jnp.int32)
             else:
                 sym = sym_or_y
             y_hat = sym.astype(mu.dtype) + mu
@@ -840,7 +862,9 @@ class CzigzagCodec:
         y = self._analyze(v, x, ctx_list)
         z = self._hyper_encode(v, y, hctx, hctx2)
         med = self._eb_medians(v)
-        z_sym = np.asarray(jax.device_get(jnp.round(z - med).astype(jnp.int32)))
+        z_sym = np.asarray(
+            jax.device_get(enc_round(z - med, self.narrow).astype(jnp.int32))
+        )
         z_strings = self._code_z(z_sym, "entropy_bottleneck")
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         state = self._ctx_prepare(v, z_hat, hctx, hctx2)
@@ -899,7 +923,10 @@ class Stf2Codec:
     (SURVEY.md §0); this is a self-consistent design with one jitted step
     function shared by encoder and decoder; strings = [y, z]."""
 
-    def __init__(self, model, variables, tables: CodecTables | None = None):
+    def __init__(self, model, variables,
+                 tables: CodecTables | None = None,
+                 narrow: float = 1.0):
+        self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
@@ -927,7 +954,7 @@ class Stf2Codec:
 
         @jax.jit
         def token_code_enc(v, y_token, mu, ctx_sp):
-            sym = jnp.round(y_token - mu).astype(jnp.int32)
+            sym = enc_round(y_token - mu, narrow).astype(jnp.int32)
             y_hat = sym.astype(mu.dtype) + mu
             lrp = mdl.apply(v, ctx_sp, y_hat, method=mdl.token_lrp)
             return sym, y_hat + lrp
@@ -1016,7 +1043,9 @@ class Stf2Codec:
         v = self.variables
         y, z = self._analyze(v, x)
         med = self._eb_medians(v)
-        z_sym = np.asarray(jax.device_get(jnp.round(z - med).astype(jnp.int32)))
+        z_sym = np.asarray(
+            jax.device_get(enc_round(z - med, self.narrow).astype(jnp.int32))
+        )
         z_strings = self._code_z(z_sym, "entropy_bottleneck")
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         y_tok, m_win, s_win, lattice = self._token_windows(v, y, z_hat)

@@ -516,6 +516,22 @@ class _ConvHead(nn.Module):
         return h
 
 
+def _unfold_scramble(win):
+    """Reproduce the reference's nn.Unfold channel-ordering scramble on
+    the hyper context windows (reference stf2.py:1063-1079): ``nn.Unfold``
+    lays each (D, s) patch out d-major (channel index = d*s + k), but the
+    reference reinterprets the flat vector token-major via
+    ``view(-1, N, num_sliding, token_dim)`` — so every "sliding token" it
+    feeds the attention is the transpose-scramble ``(W^T).reshape(s, D)``
+    of the true window W (s, D). The y-history half is built directly
+    (``torch.cat(...).view``, stf2.py:1121-1126) and is NOT scrambled.
+    Same bug class as stf4's NeighborSample scramble (NOTES_ROUND3.md);
+    reproduced bit-for-bit so converted reference checkpoints behave
+    identically. win: (B, N, s, D) proper windows -> scrambled."""
+    B, N, s, D = win.shape
+    return win.swapaxes(-2, -1).reshape(B, N, s, D)
+
+
 class ClipEncoder(_MaskedBase):
     """stf2: autoregressive attention context over window tokens."""
 
@@ -556,8 +572,12 @@ class ClipEncoder(_MaskedBase):
         s_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
         B, N, D = y_tok.shape
 
-        m_win = _causal_windows(m_tok, s, include_current=True)  # (B,N,s,D)
-        s_win = _causal_windows(s_tok, s, include_current=True)
+        m_win = _unfold_scramble(
+            _causal_windows(m_tok, s, include_current=True)
+        )  # (B,N,s,D)
+        s_win = _unfold_scramble(
+            _causal_windows(s_tok, s, include_current=True)
+        )
 
         def to_spatial(tokens):
             # (B, k, D) c-major tokens -> (B, ws, ws, k*Cp); channel
@@ -646,8 +666,12 @@ class ClipEncoder(_MaskedBase):
         # same swapped hyper wiring as __call__ (stf2.py:1048-1049)
         m_tok = self._tokens_flat(self._window_tokens(sp, nH, nW))
         s_tok = self._tokens_flat(self._window_tokens(mp, nH, nW))
-        m_win = _causal_windows(m_tok, s, include_current=True)
-        s_win = _causal_windows(s_tok, s, include_current=True)
+        m_win = _unfold_scramble(
+            _causal_windows(m_tok, s, include_current=True)
+        )
+        s_win = _unfold_scramble(
+            _causal_windows(s_tok, s, include_current=True)
+        )
         return y_tok, m_win, s_win, (nH, nW)
 
     def token_context(self, m_win_i, s_win_i, prev, first_step=False):

@@ -47,16 +47,16 @@ pytestmark = [
 
 # max |x_hat - x_hat_ref| tolerances: conv-transform models sit at 1e-5;
 # deep Swin stacks accumulate to ~1e-3 (same budget the certified stf
-# test uses, test_reference_parity.py:120). stf2 quantizes round(y - mu)
-# inside an autoregressive loop where mu carries attention+conv float
-# noise — a few boundary flips per image are inherent to cross-framework
-# comparison (each flip = O(1) local likelihood change feeding later
-# steps), so its x_hat budget is flip-sized and the wiring claim rests on
-# bpp + the large-dlik FRACTION staying tiny (measured ~3e-4 bpp,
-# <0.1% large-dlik positions across seeds).
+# test uses, test_reference_parity.py:120). stf2 is EXACT since round 4:
+# its former 0.03-0.04 residual was the reference's nn.Unfold
+# channel-ordering scramble on the hyper context windows (reproduced by
+# masked_ctx._unfold_scramble; localized by tools/probe_stf2_forensics.py
+# — the torch-vs-torch eps-control in tools/probe_stf2_control.py showed
+# zero rounding flips up to 3e-3 mu noise, ruling out the old
+# "boundary flips" explanation).
 CASES = {
     "cnn2": 5e-5,
-    "stf2": 1e-1,
+    "stf2": 2e-3,
     "stf3": 2e-3,
     "stf4": 2e-3,
     "stf5": 2e-3,

@@ -1,4 +1,4 @@
-"""TPU bench matrix: one measured row per codec family (VERDICT #4).
+"""TPU bench matrix: one measured row per codec family (VERDICT r2 #4, r3 #3).
 
 For every real-coder family that bench.py's CharmCodec path does not
 cover (stf2's windowed-token AR, stf3/stf4's masked-transformer decode,
@@ -62,7 +62,9 @@ def sync_scalar(a) -> float:
     return float(jax.device_get(jnp.asarray(a).sum()))
 
 
-def bench_family(name: str, size: int, batch: int, iters: int) -> dict:
+def bench_family(
+    name: str, size: int, batch: int, iters: int, narrow: float = 1.0
+) -> dict:
     from icm_tpu.models import create_model
 
     # stf4's real coder needs the causal completion (the reference mask
@@ -89,9 +91,19 @@ def bench_family(name: str, size: int, batch: int, iters: int) -> dict:
     if name == "czigzag":
         from icm_tpu.models.crc_codec import CzigzagCodec
 
-        codec, kind = CzigzagCodec(model, variables), "czigzag"
+        codec, kind = CzigzagCodec(model, variables, narrow=narrow), "czigzag"
     else:
         codec, kind = build_codec(name, model, variables)
+        if narrow != 1.0:
+            try:  # rebuild with encoder-side narrowing where supported
+                codec = type(codec)(
+                    model, variables, tables=codec.tables, narrow=narrow
+                )
+            except TypeError:
+                # teacher-forced one-shot encoders (stf3/stf4) cannot
+                # narrow naively — their context is conditioned on the
+                # TRUE token sequence, not sym+mu (masked_codec.py)
+                narrow = 1.0
 
     def decompress(enc):
         if kind == "czigzag":
@@ -147,6 +159,7 @@ def bench_family(name: str, size: int, batch: int, iters: int) -> dict:
         "model": name,
         "size": size,
         "batch": batch,
+        "narrow": narrow,
         "bpp": round(bits / (batch * size * size), 4),
         "enc_images_per_sec": round(batch / te, 3),
         "dec_images_per_sec": round(batch / td, 3),
@@ -162,7 +175,12 @@ def main():
     ap.add_argument("--families", default=",".join(FAMILIES))
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument(
-        "--out", default=os.path.join(REPO, "BENCH_MATRIX_r03.json")
+        "--out", default=os.path.join(REPO, "BENCH_MATRIX_r04.json")
+    )
+    ap.add_argument(
+        "--narrow", type=float, default=1.0,
+        help="encoder residual scaling: <1 gives trained-like symbol "
+        "statistics under random init (codec.enc_round; VERDICT r3 #3)",
     )
     ns = ap.parse_args()
     rows = []
@@ -175,7 +193,7 @@ def main():
             continue
         size, batch = FAMILIES[name]
         try:
-            row = bench_family(name, size, batch, ns.iters)
+            row = bench_family(name, size, batch, ns.iters, ns.narrow)
         except Exception as e:
             row = {"model": name, "error": repr(e)}
         print(json.dumps(row), flush=True)
