@@ -185,6 +185,9 @@ class CharmCodec:
         self.ref_layout = ref_layout
         self.data_sharding = data_sharding
         self.narrow = narrow  # see enc_round (1.0 = exact default)
+        # subclasses that never consume the packed host wire (the device
+        # wire fetches nothing per-symbol) skip building it entirely
+        self._wants_packed = True
         self.tables = tables or build_codec_tables(model, variables)
         self._scale_table_dev = jnp.asarray(self.tables.scale_table)
 
@@ -501,17 +504,19 @@ class CharmCodec:
                 # debug assemble — defer it to the fused final program
                 last_args = (sym32, mu, mean_support)
 
-        sym2, idx6, n_esc, esc_buf = self._pack_streams(sym16s, idxs)
-        for a in (z16, z_ovf, n_esc, *ovfs):
-            try:  # start the device->host copies behind the device queue
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
+        packed = None
+        if self._wants_packed:
+            packed = self._pack_streams(sym16s, idxs)
+            for a in (z16, z_ovf, packed[2], *ovfs):
+                try:  # start the device->host copies behind the device queue
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
         return dict(
             z16=z16, z_ovf=z_ovf, z_sym=z_sym, sym16s=sym16s, ovfs=ovfs,
             sym32s=sym32s, idxs=idxs, y_hat_slices=y_hat_slices,
             last_args=last_args, z_hat=z_hat, shape=(zh, zw),
-            packed=(sym2, idx6, n_esc, esc_buf),
+            packed=packed,
         )
 
     def _compress_finish(

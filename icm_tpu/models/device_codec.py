@@ -80,14 +80,26 @@ class DeviceWireCodec(CharmCodec):
     z uses one lane per hyper-latent pixel.
     """
 
-    def __init__(self, *args, lanes_per_image: int = 256, **kwargs):
+    def __init__(
+        self,
+        *args,
+        lanes_per_image: int = 256,
+        z_lane_groups: int = 8,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         if self.ref_layout:
             raise ValueError(
                 "DeviceWireCodec defines its own wire; ref_layout applies "
                 "to the host coder only"
             )
+        self._wants_packed = False  # the packed HOST wire is never fetched
         self.lanes_per_image = lanes_per_image
+        # z symbols are fully independent (factorized prior), so lanes can
+        # split the channel axis too: z lanes = pixels x channel groups,
+        # serial depth C/groups instead of C (the z scan was 192 steps at
+        # only B*zh*zw lanes — a measured decode hot spot at 512px)
+        self.z_lane_groups = z_lane_groups
         self._gauss_dev = build_device_tables(self.tables.gaussian)
         self._eb_dev = build_device_tables(self._z_tables())
 
@@ -113,23 +125,37 @@ class DeviceWireCodec(CharmCodec):
         def encode_y(vals_T, rows_T):
             return encode_lanes(vals_T, rows_T, gdev)
 
+        def _z_rows(G, n_px):
+            """(C/G, n_px*G) row map: lane (px, g) decodes channels
+            g*C/G .. (g+1)*C/G-1 in order."""
+            C = edev.num_rows
+            r = (
+                jnp.arange(C, dtype=jnp.int32)
+                .reshape(G, C // G)
+                .T[:, None, :]
+            )  # (C/G, 1, G)
+            return jnp.broadcast_to(r, (C // G, n_px, G)).reshape(
+                C // G, n_px * G
+            )
+
         @jax.jit
         def encode_z(z_sym):
             B, zh, zw, C = z_sym.shape
-            vals = z_sym.transpose(3, 0, 1, 2).reshape(C, B * zh * zw)
-            rows = jnp.broadcast_to(
-                jnp.arange(C, dtype=jnp.int32)[:, None], vals.shape
-            )
-            return encode_lanes(vals, rows, edev)
+            G = self._z_groups()
+            # lane = (pixel, group); step = channel within group
+            v = z_sym.reshape(B * zh * zw, G, C // G).transpose(2, 0, 1)
+            vals = v.reshape(C // G, B * zh * zw * G)
+            return encode_lanes(vals, _z_rows(G, B * zh * zw), edev)
 
         @functools.partial(jax.jit, static_argnums=(2, 3, 4))
         def decode_z(words, off, B, zh, zw):
             C = edev.num_rows
-            rows = jnp.broadcast_to(
-                jnp.arange(C, dtype=jnp.int32)[:, None], (C, B * zh * zw)
+            G = self._z_groups()
+            vals, _, _ = decode_lanes(
+                words, off, _z_rows(G, B * zh * zw), edev
             )
-            vals, _, _ = decode_lanes(words, off, rows, edev)
-            return vals.reshape(C, B, zh, zw).transpose(1, 2, 3, 0)
+            v = vals.reshape(C // G, B * zh * zw, G).transpose(1, 2, 0)
+            return v.reshape(B, zh, zw, C)
 
         @functools.partial(jax.jit, static_argnums=(3,))
         def decode_y_slice(words, off, index_u8, n_l, state, ptr):
@@ -151,6 +177,13 @@ class DeviceWireCodec(CharmCodec):
         while (h * w) % n_l:
             n_l -= 1
         return n_l
+
+    def _z_groups(self) -> int:
+        C = self._eb_dev.num_rows
+        G = min(self.z_lane_groups, C)
+        while C % G:
+            G -= 1
+        return G
 
     # --- compress ----------------------------------------------------------
     def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
@@ -176,8 +209,17 @@ class DeviceWireCodec(CharmCodec):
         ylen_h, zlen_h = jax.device_get((ylen, zlen))
         ylen_h = np.asarray(ylen_h)
         zlen_h = np.asarray(zlen_h)
-        ybuf_h = np.asarray(jax.device_get(ybuf[:, : int(ylen_h.max())]))
-        zbuf_h = np.asarray(jax.device_get(zbuf[:, : int(zlen_h.max())]))
+        # uint16 on the wire: words are 16-bit; halves the bulk fetch
+        ybuf_h = np.asarray(
+            jax.device_get(
+                ybuf[:, : int(ylen_h.max())].astype(jnp.uint16)
+            )
+        )
+        zbuf_h = np.asarray(
+            jax.device_get(
+                zbuf[:, : int(zlen_h.max())].astype(jnp.uint16)
+            )
+        )
 
         y_strings, z_strings = [], []
         n_lz = zbuf_h.shape[0] // B
