@@ -111,7 +111,7 @@ def main():
 
     cdf = np.zeros((64, 68), np.int32)
     for r in range(64):
-        pmf = np.random.rand(66) + 0.01
+        pmf = np.random.rand(67) + 0.01
         q = np.floor(pmf / pmf.sum() * 65400).astype(np.int64) + 1
         q[-1] = 65536 - q[:-1].sum()
         cdf[r, 1:68] = np.cumsum(q)
