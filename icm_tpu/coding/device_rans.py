@@ -6,36 +6,47 @@ slice (reference ``cnn.py:306-327``: per-slice ``decoder.decode_stream``),
 which this framework initially mirrored as a device->host index fetch +
 host rANS + host->device symbol upload per slice. On a remote-TPU link
 (~40 ms RTT) those 10-24 serial round-trips dominate decode wall-clock
-(44.6% index-fetch wait measured by ``tools/profile_decode.py``). This
-module moves the entropy decode ONTO the device: the bitstream is uploaded
-once, symbols are decoded by vectorized integer ops inside the same device
-queue as the context convolutions, and nothing crosses the link until the
-final ``x_hat`` fetch.
+(BASELINE.md: decode MFU 1.9-6.7%). This module moves the entropy decode
+ONTO the device: the bitstream is uploaded once, symbols are decoded by
+vectorized integer ops inside the same device queue as the context
+convolutions, and nothing crosses the link until the final ``x_hat``
+fetch.
 
 Coder design (TPU-native, NOT the host wire format):
   - 32-bit rANS state, 16-bit word renormalization, 16-bit coder
-    precision. Normalization interval L = 1 << 16, so every decode step
-    pulls at most ONE 16-bit word and every encode step emits at most one
-    — branch-free ``where`` selects instead of data-dependent loops (XLA
-    has no cheap divergent control flow).
+    precision (same table semantics as the host coder, so
+    ``build_codec_tables`` output is reused directly).
   - N parallel lanes: each lane owns an independent rANS stream. Symbols
     that are conditionally independent given the AR context (everything
     inside one ChARM slice) are laid out across lanes and decoded in
     lock-step by one vectorized instruction stream; the serial dimension
     is only the per-lane symbol count.
-  - Decode is table-driven: a full (n_dists, 2**16) peek->symbol LUT plus
-    a packed (freq << 16 | cdf_low) table make each symbol 3 gathers
-    (LUT, freq/low, renorm word) — no search loop.
-  - Out-of-range symbols escape to the per-row bypass symbol
-    (``cdf_length - 2``, same convention as the host coder /
-    reference ``entropy_models.py``) followed by the raw 32-bit value as
-    two 16-bit words (fixed-size, unlike the host coder's 4-bit chunked
-    bypass — fixed size keeps the vector step shape-static).
+  - ONE gather per decoded symbol besides the renorm pull: a packed
+    pair LUT ``lut2[r, peek] = (value, freq<<16 | (peek - cdf_low))``
+    (uint32 x 2, fetched as a single gather with a trailing slice of 2)
+    resolves symbol value, frequency, and in-interval offset in one
+    lookup (measured on TPU v5e: 0.84 ms per 32768-lane step vs 1.29 for
+    the v1 separate-LUT + inline-escape step; gather count, not table
+    size, is what the hardware charges for).
+  - Out-of-range symbols are coded as the per-row bypass symbol
+    (``cdf_length - 2``, the host-coder convention) and their raw 32-bit
+    values travel on a SIDE CHANNEL: ``(dest, raw)`` pairs the encoder
+    compacts on device and the decoder applies with one masked scatter.
+    This removes the two extra renorm pulls per step the v1 inline bypass
+    paid on EVERY symbol (branch-free vector code cannot skip them), at
+    +8 wire bytes per escape — escapes are rare at trained-model symbol
+    statistics.
+  - The encoder emits (word, flag) pairs as ``lax.scan`` outputs
+    (sequential writes) and materializes per-lane streams with ONE
+    compaction scatter at the end, replacing the v1 per-step masked
+    scatters (measured 0.55 ms vs 2.74 ms per step). Streams come out
+    already in decode order: ``[state_hi, state_lo, w_{K-1}, ..., w_0]``.
 
 The HOST coder (``icm_tpu.coding``) remains the reference-interoperable
 format; this wire trades format compatibility for a zero-round-trip
 device decode. Streams produced by :func:`encode_lanes` are decoded by
-:func:`decode_lanes` bit-exactly (tests/test_device_rans.py).
+:func:`decode_lanes` bit-exactly (tests/test_device_rans.py), with the
+pure-numpy mirror at the bottom as the independent oracle.
 
 Determinism note: everything here is integer arithmetic — encoder and
 decoder agree exactly regardless of XLA fusion decisions. The float
@@ -57,6 +68,10 @@ from ..entropy import EntropyTables
 PRECISION = 16
 _L = np.uint32(1 << 16)  # renormalization interval lower bound
 _MASK16 = np.uint32(0xFFFF)
+# decoded-value sentinel marking an escaped symbol; legit values are
+# sym + offset with |value| < ~2k for every table this framework builds
+# (build_device_tables asserts it)
+ESC_VAL = 0x7FFF
 
 
 # --------------------------------------------------------------------------
@@ -66,13 +81,16 @@ _MASK16 = np.uint32(0xFFFF)
 class DeviceCoderTables:
     """Device-resident coding tables built from host :class:`EntropyTables`.
 
-    ``fc[r, s] = freq << 16 | cdf_low`` for coded symbol s of row r
-    (freq < 2**16 always: ``pmf_to_quantized_cdf`` gives every interval
-    >= 1 and rows have >= 2 intervals). ``lut[r, peek]`` inverts the CDF.
+    ``lut2[r, peek] = (value & 0xFFFF, freq << 16 | (peek - low))`` for
+    the symbol whose CDF interval contains ``peek``; ``value`` is the
+    already-offset decoded value (``sym + offset[r]``) or :data:`ESC_VAL`
+    for the bypass symbol. ``fc[r, s] = freq << 16 | cdf_low`` drives the
+    encoder (freq < 2**16 always: ``pmf_to_quantized_cdf`` gives every
+    interval >= 1 and rows have >= 2 intervals).
     """
 
+    lut2: jax.Array  # uint32 (n * (1 << 16), 2)
     fc: jax.Array  # uint32 (n, max_sym + 1)
-    lut: jax.Array  # int16  (n, 1 << 16): peek -> symbol
     esc_sym: jax.Array  # int32 (n,) = cdf_length - 2 (bypass symbol)
     offset: jax.Array  # int32 (n,)
 
@@ -85,25 +103,40 @@ def build_device_tables(t: EntropyTables) -> DeviceCoderTables:
     """Host-side table build (numpy), uploaded once."""
     cdf = np.asarray(t.quantized_cdf, np.int64)
     lens = np.asarray(t.cdf_length, np.int64)
+    offs = np.asarray(t.offset, np.int64)
     n = cdf.shape[0]
     max_sym = int(lens.max()) - 1  # coded symbols 0 .. cdf_length-2
     fc = np.zeros((n, max_sym), np.uint32)
-    lut = np.zeros((n, 1 << PRECISION), np.int16)
+    lut2 = np.zeros((n, 1 << PRECISION, 2), np.uint32)
     peeks = np.arange(1 << PRECISION, dtype=np.int64)
     for r in range(n):
         L = int(lens[r])
         row = cdf[r, :L]
-        freq = row[1:] - row[:-1]
+        freq = (row[1:] - row[:-1]).astype(np.int64)
         fc[r, : L - 1] = (freq.astype(np.uint32) << 16) | row[:-1].astype(
             np.uint32
         )
-        s = np.searchsorted(row, peeks, side="right") - 1
-        lut[r] = np.clip(s, 0, L - 2).astype(np.int16)
+        s = np.clip(
+            np.searchsorted(row, peeks, side="right") - 1, 0, L - 2
+        )
+        val = s + offs[r]
+        legit = val[s < L - 2]
+        if legit.size and int(np.abs(legit).max()) >= ESC_VAL:
+            raise ValueError(
+                f"row {r}: |value| {int(np.abs(legit).max())} >= "
+                "escape sentinel"
+            )
+        val = np.where(s == L - 2, ESC_VAL, val)
+        start = peeks - row[s]
+        lut2[r, :, 0] = (val & 0xFFFF).astype(np.uint32)
+        lut2[r, :, 1] = (freq[s].astype(np.uint32) << 16) | start.astype(
+            np.uint32
+        )
     return DeviceCoderTables(
+        lut2=jnp.asarray(lut2.reshape(-1, 2)),
         fc=jnp.asarray(fc),
-        lut=jnp.asarray(lut),
         esc_sym=jnp.asarray((lens - 2).astype(np.int32)),
-        offset=jnp.asarray(np.asarray(t.offset, np.int32)),
+        offset=jnp.asarray(offs.astype(np.int32)),
     )
 
 
@@ -123,14 +156,6 @@ def init_lanes(words: jax.Array, off: jax.Array):
     return state, ptr
 
 
-def _pull(state, ptr, words, off, need):
-    """Branch-free renorm: pull one word where ``need``."""
-    w = words[off + ptr].astype(jnp.uint32)
-    state = jnp.where(need, (state << 16) | w, state)
-    ptr = ptr + need.astype(jnp.int32)
-    return state, ptr
-
-
 def decode_lanes(
     words: jax.Array,
     off: jax.Array,
@@ -143,44 +168,42 @@ def decode_lanes(
 
     rows_T: int32 (T, lanes) distribution-row index per step per lane.
     Returns (values int32 (T, lanes), state, ptr); pass state/ptr back in
-    to continue the same streams (the ChARM slice loop does).
+    to continue the same streams (the ChARM slice loop does). Escaped
+    positions decode to :data:`ESC_VAL` — apply :func:`fix_escapes` with
+    the wire's side-channel pairs to restore the raw values.
     """
     if state is None:
         state, ptr = init_lanes(words, off)
-    fc_flat = tables.fc.reshape(-1)
-    lut_flat = tables.lut.reshape(-1)
-    n_sym = tables.fc.shape[1]
+    lut2 = tables.lut2
 
     def step(carry, r):
         state, ptr = carry
         peek = state & _MASK16
-        s = lut_flat[r * (1 << PRECISION) + peek.astype(jnp.int32)].astype(
-            jnp.int32
-        )
-        fcv = fc_flat[r * n_sym + s]
-        f = fcv >> 16
-        c = fcv & _MASK16
-        state = f * (state >> 16) + peek - c
-        state, ptr = _pull(state, ptr, words, off, state < _L)
-
-        esc = s == tables.esc_sym[r]
-        # raw 32-bit value as two 16-bit words (hi then lo), lanes without
-        # an escape keep their state via selects
-        hi = state & _MASK16
-        st2 = state >> 16
-        st2, ptr2 = _pull(st2, ptr, words, off, st2 < _L)
-        lo = st2 & _MASK16
-        st3 = st2 >> 16
-        st3, ptr3 = _pull(st3, ptr2, words, off, st3 < _L)
-        state = jnp.where(esc, st3, state)
-        ptr = jnp.where(esc, ptr3, ptr)
-
-        raw = ((hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32))
-        value = jnp.where(esc, raw, s + tables.offset[r])
-        return (state, ptr), value
+        e = lut2[r * (1 << PRECISION) + peek.astype(jnp.int32)]
+        val = (e[:, 0].astype(jnp.int32) ^ 0x8000) - 0x8000  # sign-extend
+        fs = e[:, 1] >> 16
+        start = e[:, 1] & _MASK16
+        state = fs * (state >> 16) + start
+        need = state < _L
+        w = words[off + ptr].astype(jnp.uint32)
+        state = jnp.where(need, (state << 16) | w, state)
+        ptr = ptr + need.astype(jnp.int32)
+        return (state, ptr), val
 
     (state, ptr), values = jax.lax.scan(step, (state, ptr), rows_T)
     return values, state, ptr
+
+
+def fix_escapes(values_T: jax.Array, dest: jax.Array, raw: jax.Array):
+    """Overwrite escaped positions with side-channel raw values.
+
+    values_T: (T, lanes) from :func:`decode_lanes`; dest: int32 (E,)
+    flat step-major indexes (t * lanes + lane), padded entries >= T*lanes
+    are dropped; raw: int32 (E,).
+    """
+    T, lanes = values_T.shape
+    flat = values_T.reshape(-1).at[dest].set(raw, mode="drop")
+    return flat.reshape(T, lanes)
 
 
 # --------------------------------------------------------------------------
@@ -193,84 +216,93 @@ def encode_lanes(
 ):
     """Encode (T, lanes) values into per-lane rANS streams.
 
-    Returns (buf int32 (lanes, maxw), lengths int32 (lanes,)): buf rows
-    hold each lane's words in EMISSION order (reverse of decode order);
-    :func:`assemble_streams` reverses and concatenates them on host.
-    maxw = 3*T + 2 is the static worst case (every symbol escaped).
+    Returns ``(buf, lengths, dest, raw, n_esc)``:
+      buf     int32 (lanes, T + 2) — each lane's words already in DECODE
+              order (flushed state hi, lo, then emissions reversed);
+      lengths int32 (lanes,) words used per lane;
+      dest    int32 (T * lanes,) flat step-major positions of escapes,
+              compacted to the front, padded with T*lanes;
+      raw     int32 (T * lanes,) matching raw values;
+      n_esc   int32 scalar — number of valid (dest, raw) pairs.
+
+    The side-channel buffers are full-size on device (worst case all
+    symbols escape); callers slice the fetch to ``n_esc``.
     """
     T, lanes = values_T.shape
-    maxw = 3 * T + 2
+    maxw = T + 2
     fc_flat = tables.fc.reshape(-1)
     n_sym = tables.fc.shape[1]
     lane_ids = jnp.arange(lanes)
 
-    def emit_word(state, pos, buf, emit):
-        """Masked scatter of the state's low word (out-of-bounds dest =
-        dropped write — cheaper than gather+select on TPU)."""
-        dest = jnp.where(emit, pos, maxw)
-        buf = buf.at[lane_ids, dest].set(
-            (state & _MASK16).astype(jnp.int32), mode="drop"
-        )
-        pos = pos + emit.astype(jnp.int32)
+    # escapes + per-symbol (freq, low) resolved before the scan: these are
+    # bulk (T, lanes) gathers, not per-step work
+    u = values_T - tables.offset[rows_T]
+    es = tables.esc_sym[rows_T]
+    esc = (u < 0) | (u >= es)
+    s = jnp.where(esc, es, u)
+    fcv = fc_flat[rows_T * n_sym + s]
+    f = fcv >> 16
+    c = fcv & _MASK16
+
+    def step(state, xs):
+        fs, cs = xs
+        emit = state >= (fs << 16)
+        w = (state & _MASK16).astype(jnp.int32)
         state = jnp.where(emit, state >> 16, state)
-        return state, pos, buf
-
-    def push(state, pos, buf, bits, mask):
-        """Renorm-then-shift-in 16 raw ``bits`` where ``mask``."""
-        state, pos, buf = emit_word(state, pos, buf, mask & (state >= _L))
-        state = jnp.where(mask, (state << 16) | bits, state)
-        return state, pos, buf
-
-    def step(carry, xs):
-        state, pos, buf = carry
-        v, r = xs
-        u = v - tables.offset[r]
-        es = tables.esc_sym[r]
-        esc = (u < 0) | (u >= es)
-        s = jnp.where(esc, es, u)
-        fcv = fc_flat[r * n_sym + s]
-        f = fcv >> 16
-        c = fcv & _MASK16
-        # decode order within a step is: symbol, raw-hi, raw-lo — LIFO, so
-        # push raw-lo first, then raw-hi, then the symbol
-        lo = (v & 0xFFFF).astype(jnp.uint32)
-        hi = ((v >> 16) & 0xFFFF).astype(jnp.uint32)
-        state, pos, buf = push(state, pos, buf, lo, esc)
-        state, pos, buf = push(state, pos, buf, hi, esc)
-        # symbol: renorm against freq-scaled bound, then advance
-        state, pos, buf = emit_word(state, pos, buf, state >= (f << 16))
-        q = state // f
-        state = (q << 16) + (state - q * f) + c
-        return (state, pos, buf), ()
+        q = state // fs
+        state = (q << 16) + (state - q * fs) + cs
+        return state, (w, emit)
 
     state = jnp.full((lanes,), np.uint32(_L), jnp.uint32)
-    pos = jnp.zeros((lanes,), jnp.int32)
-    buf = jnp.zeros((lanes, maxw), jnp.int32)
     # encoder runs over symbols in reverse
-    (state, pos, buf), _ = jax.lax.scan(
-        step, (state, pos, buf), (values_T[::-1], rows_T[::-1])
+    state, (ws, emits) = jax.lax.scan(step, state, (f[::-1], c[::-1]))
+
+    # compaction: emission k (0 = first emitted) of a lane with K total
+    # emissions lands at decode position 2 + (K - 1 - k)
+    em32 = emits.astype(jnp.int32)
+    pos = jnp.cumsum(em32, axis=0) - em32  # exclusive, per lane
+    K = pos[-1] + em32[-1]
+    lengths = K + 2
+    dest_w = jnp.where(
+        emits,
+        lane_ids[None, :] * maxw + 2 + (K[None, :] - 1 - pos),
+        lanes * maxw,
     )
-    # flush final 32-bit state: lo then hi (reversed read gives hi first)
-    buf = buf.at[lane_ids, pos].set((state & _MASK16).astype(jnp.int32))
-    buf = buf.at[lane_ids, pos + 1].set((state >> 16).astype(jnp.int32))
-    lengths = pos + 2
-    return buf, lengths
+    buf = jnp.zeros((lanes * maxw,), jnp.int32)
+    buf = buf.at[dest_w.reshape(-1)].set(ws.reshape(-1), mode="drop")
+    # flushed final 32-bit state: decode order hi, lo
+    buf = buf.reshape(lanes, maxw)
+    buf = buf.at[lane_ids, 0].set((state >> 16).astype(jnp.int32))
+    buf = buf.at[lane_ids, 1].set((state & _MASK16).astype(jnp.int32))
+
+    # escape side channel, step-major compaction
+    esc_flat = esc.reshape(-1)
+    e32 = esc_flat.astype(jnp.int32)
+    rank = jnp.cumsum(e32) - e32
+    n_total = T * lanes
+    slot = jnp.where(esc_flat, rank, n_total)
+    dest = jnp.full((n_total,), n_total, jnp.int32)
+    dest = dest.at[slot].set(
+        jnp.arange(n_total, dtype=jnp.int32), mode="drop"
+    )
+    raw = jnp.zeros((n_total,), jnp.int32)
+    raw = raw.at[slot].set(values_T.reshape(-1), mode="drop")
+    n_esc = rank[-1] + e32[-1]
+    return buf, lengths, dest, raw, n_esc
 
 
 # --------------------------------------------------------------------------
 # Host-side wire assembly
 # --------------------------------------------------------------------------
 def assemble_streams(buf: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """(lanes, maxw) emission-order buffers -> flat uint16 word array in
-    decode order (lane 0's reversed words, then lane 1's, ...). Vectorized
-    numpy (one boolean take)."""
+    """(lanes, maxw) decode-order buffers -> flat uint16 word array
+    (lane 0's words, then lane 1's, ...). Vectorized numpy (one boolean
+    take)."""
     buf = np.asarray(buf)
     lengths = np.asarray(lengths, np.int64)
     lanes, maxw = buf.shape
-    rev = buf[:, ::-1]
     cols = np.arange(maxw, dtype=np.int64)[None, :]
-    mask = cols >= (maxw - lengths[:, None])
-    return rev[mask].astype(np.uint16)
+    return buf[cols < lengths[:, None]].astype(np.uint16)
 
 
 def lane_offsets(lengths: np.ndarray) -> np.ndarray:
@@ -285,48 +317,55 @@ def lane_offsets(lengths: np.ndarray) -> np.ndarray:
 # Pure-numpy mirror (test oracle)
 # --------------------------------------------------------------------------
 def _np_encode_lane(values, rows, t_host: EntropyTables):
-    """Single-lane scalar-python encoder mirroring encode_lanes exactly."""
+    """Single-lane scalar-python encoder mirroring encode_lanes exactly.
+
+    Returns (words in decode order, escapes as [(step, raw), ...])."""
     cdf = np.asarray(t_host.quantized_cdf, np.int64)
     lens = np.asarray(t_host.cdf_length, np.int64)
     offs = np.asarray(t_host.offset, np.int64)
     state = 1 << 16
-    out = []
-
-    def push_raw(state, bits):
-        if state >= (1 << 16):
-            out.append(state & 0xFFFF)
-            state >>= 16
-        return (state << 16) | bits
-
+    out = []  # emission order
+    escapes = []
+    for t, (v, r) in enumerate(zip(values, rows)):
+        v, r = int(v), int(r)
+        es = int(lens[r]) - 2
+        if v - int(offs[r]) < 0 or v - int(offs[r]) >= es:
+            escapes.append((t, v))
     for v, r in zip(reversed(values), reversed(rows)):
         v, r = int(v), int(r)
         es = int(lens[r]) - 2
         u = v - int(offs[r])
-        esc = u < 0 or u >= es
-        s = es if esc else u
+        s = es if (u < 0 or u >= es) else u
         c = int(cdf[r, s])
         f = int(cdf[r, s + 1]) - c
-        if esc:
-            state = push_raw(state, v & 0xFFFF)
-            state = push_raw(state, (v >> 16) & 0xFFFF)
         if state >= (f << 16):
             out.append(state & 0xFFFF)
             state >>= 16
         state = ((state // f) << 16) + (state % f) + c
-    out.append(state & 0xFFFF)
-    out.append((state >> 16) & 0xFFFF)
-    return np.asarray(out, np.uint16)
+    words = [state >> 16, state & 0xFFFF] + out[::-1]
+    return np.asarray(words, np.uint16), escapes
 
 
 def np_encode(values_T, rows_T, t_host: EntropyTables):
-    """(T, lanes) -> (flat words uint16, lengths) — decode-order layout
-    identical to assemble_streams(encode_lanes(...))."""
-    T, lanes = np.asarray(values_T).shape
+    """(T, lanes) -> (flat words uint16, lengths, dest, raw) — layout
+    identical to ``assemble_streams(encode_lanes(...))`` plus the
+    compacted step-major escape side channel."""
+    vT = np.asarray(values_T)
+    rT = np.asarray(rows_T)
+    T, lanes = vT.shape
     parts, lengths = [], []
+    esc = {}
     for l in range(lanes):
-        w = _np_encode_lane(
-            np.asarray(values_T)[:, l], np.asarray(rows_T)[:, l], t_host
-        )
-        parts.append(w[::-1])  # decode order
+        w, e = _np_encode_lane(vT[:, l], rT[:, l], t_host)
+        parts.append(w)
         lengths.append(len(w))
-    return np.concatenate(parts), np.asarray(lengths, np.int32)
+        for t, v in e:
+            esc[t * lanes + l] = v
+    dest = np.asarray(sorted(esc), np.int32)
+    raw = np.asarray([esc[d] for d in sorted(esc)], np.int32)
+    return (
+        np.concatenate(parts) if parts else np.zeros(0, np.uint16),
+        np.asarray(lengths, np.int32),
+        dest,
+        raw,
+    )

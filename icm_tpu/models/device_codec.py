@@ -12,7 +12,8 @@ boundary: symbols are entropy-decoded by the lane-parallel integer rANS in
     dispatches (context conv, rANS decode, context conv, ...) + one final
     x_hat fetch — zero intermediate round-trips;
   - compress()   = async forward/quantize dispatches + on-device rANS
-    encode + two small fetches (lengths, then exactly the stream words).
+    encode + small fetches (lengths/escape counts, then exactly the
+    stream words).
 
 Bitexactness: the float context programs are the PARENT's jitted
 per-slice functions, shared verbatim between encoder and decoder (the
@@ -21,12 +22,17 @@ arithmetic — so encoder and decoder derive identical scale rows by
 construction and the streams cannot desync.
 
 The wire format is this framework's TPU-native one (per-lane rANS32
-streams; see device_rans.py), NOT the reference-interoperable host format
-— use ``CharmCodec(ref_layout=True)`` for reference interchange.
+streams + an escape side channel; see device_rans.py), NOT the
+reference-interoperable host format — use ``CharmCodec(ref_layout=True)``
+for reference interchange.
 
 Wire layout per image, one bytes object per stream list entry:
-  uint32 n_lanes | uint32 n_words | uint16 lengths[n_lanes] |
-  uint16 words[n_words]
+  uint32 n_lanes | uint32 n_words | uint32 n_esc |
+  uint16 lengths[n_lanes] | uint16 words[n_words] |
+  int32 dest[n_esc] | int32 raw[n_esc]
+``dest`` is the flat step-major position (t * n_lanes + lane) in the
+image-local decode grid of an escaped symbol whose raw 32-bit value is
+``raw`` (see device_rans.fix_escapes).
 """
 
 from __future__ import annotations
@@ -44,31 +50,53 @@ from ..coding.device_rans import (
     build_device_tables,
     decode_lanes,
     encode_lanes,
+    fix_escapes,
     lane_offsets,
 )
 from .codec import CharmCodec
 
 
-def _pack_wire(lengths: np.ndarray, words: np.ndarray) -> bytes:
-    head = struct.pack("<II", lengths.shape[0], words.shape[0])
-    return head + lengths.astype("<u4").tobytes() + words.astype(
-        "<u2"
-    ).tobytes()
+def _pack_wire(
+    lengths: np.ndarray,
+    words: np.ndarray,
+    dest: np.ndarray,
+    raw: np.ndarray,
+) -> bytes:
+    head = struct.pack(
+        "<III", lengths.shape[0], words.shape[0], dest.shape[0]
+    )
+    return (
+        head
+        + lengths.astype("<u2").tobytes()
+        + words.astype("<u2").tobytes()
+        + dest.astype("<i4").tobytes()
+        + raw.astype("<i4").tobytes()
+    )
 
 
 def _unpack_wire(blob: bytes):
-    n_lanes, n_words = struct.unpack_from("<II", blob, 0)
-    lengths = np.frombuffer(blob, "<u4", count=n_lanes, offset=8).astype(
+    n_lanes, n_words, n_esc = struct.unpack_from("<III", blob, 0)
+    o = 12
+    lengths = np.frombuffer(blob, "<u2", count=n_lanes, offset=o).astype(
         np.int64
     )
-    words = np.frombuffer(
-        blob, "<u2", count=n_words, offset=8 + 4 * n_lanes
-    )
-    return lengths, words
+    o += 2 * n_lanes
+    words = np.frombuffer(blob, "<u2", count=n_words, offset=o)
+    o += 2 * n_words
+    dest = np.frombuffer(blob, "<i4", count=n_esc, offset=o)
+    o += 4 * n_esc
+    raw = np.frombuffer(blob, "<i4", count=n_esc, offset=o)
+    return lengths, words, dest, raw
 
 
 def _round_up(n: int, q: int = 4096) -> int:
     return ((n + q - 1) // q) * q
+
+
+def _pad_to(a: np.ndarray, n: int, fill) -> np.ndarray:
+    out = np.full((n,), fill, a.dtype)
+    out[: a.shape[0]] = a
+    return out
 
 
 class DeviceWireCodec(CharmCodec):
@@ -77,13 +105,13 @@ class DeviceWireCodec(CharmCodec):
     ``lanes_per_image``: independent rANS streams per image for the y
     latent (more lanes = wider decode vectorization but +4 B/lane flush
     overhead; the per-slice serial depth is ``h*w/lanes * C_slice``).
-    z uses one lane per hyper-latent pixel.
+    z lanes split both hyper-pixels and channel groups.
     """
 
     def __init__(
         self,
         *args,
-        lanes_per_image: int = 256,
+        lanes_per_image: int = 1024,
         z_lane_groups: int = 8,
         **kwargs,
     ):
@@ -148,22 +176,24 @@ class DeviceWireCodec(CharmCodec):
             return encode_lanes(vals, _z_rows(G, B * zh * zw), edev)
 
         @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-        def decode_z(words, off, B, zh, zw):
+        def decode_z(words, off, B, zh, zw, dest, raw):
             C = edev.num_rows
             G = self._z_groups()
             vals, _, _ = decode_lanes(
                 words, off, _z_rows(G, B * zh * zw), edev
             )
+            vals = fix_escapes(vals, dest, raw)
             v = vals.reshape(C // G, B * zh * zw, G).transpose(1, 2, 0)
             return v.reshape(B, zh, zw, C)
 
         @functools.partial(jax.jit, static_argnums=(3,))
-        def decode_y_slice(words, off, index_u8, n_l, state, ptr):
+        def decode_y_slice(words, off, index_u8, n_l, state, ptr, dest, raw):
             B, h, w, C = index_u8.shape
             rows = to_lanes(index_u8.astype(jnp.int32), n_l)
             vals, state, ptr = decode_lanes(
                 words, off, rows, gdev, state=state, ptr=ptr
             )
+            vals = fix_escapes(vals, dest, raw)
             return from_lanes(vals, B, h, w, C), state, ptr
 
         self._to_lanes = to_lanes
@@ -186,6 +216,55 @@ class DeviceWireCodec(CharmCodec):
         return G
 
     # --- compress ----------------------------------------------------------
+    @staticmethod
+    def _fetch_encoded(enc_out, B: int):
+        """(buf, lengths, dest, raw, n_esc) from encode_lanes -> per-image
+        (lengths, decode-order words, image-local dest, raw) host arrays.
+
+        Fetch order: scalars/lengths first (tiny), then the word buffer
+        sliced to the actual maximum and the escape arrays sliced to the
+        actual count — ~the bitstream size, not the worst-case bound.
+        """
+        buf, lengths, dest, raw, n_esc = enc_out
+        lanes = buf.shape[0]
+        n_l = lanes // B
+        len_h, n_esc_h = jax.device_get((lengths, n_esc))
+        len_h = np.asarray(len_h)
+        ne = int(n_esc_h)
+        # uint16 on the wire: words are 16-bit; halves the bulk fetch
+        buf_h = np.asarray(
+            jax.device_get(
+                buf[:, : int(len_h.max())].astype(jnp.uint16)
+            )
+        )
+        if ne:
+            dest_h, raw_h = map(
+                np.asarray, jax.device_get((dest[:ne], raw[:ne]))
+            )
+        else:
+            dest_h = np.zeros(0, np.int32)
+            raw_h = np.zeros(0, np.int32)
+        # global flat dest = t * (B*n_l) + b*n_l + l  ->  per-image local
+        t = dest_h // lanes
+        lane = dest_h - t * lanes
+        img = lane // n_l
+        local = t * n_l + (lane - img * n_l)
+        out = []
+        for b in range(B):
+            sel = img == b
+            out.append(
+                (
+                    len_h[b * n_l : (b + 1) * n_l],
+                    assemble_streams(
+                        buf_h[b * n_l : (b + 1) * n_l],
+                        len_h[b * n_l : (b + 1) * n_l],
+                    ),
+                    local[sel].astype(np.int32),
+                    raw_h[sel].astype(np.int32),
+                )
+            )
+        return out
+
     def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
         pend = self._compress_dispatch(x)
         v = self.variables
@@ -200,36 +279,15 @@ class DeviceWireCodec(CharmCodec):
         rows_T = jnp.concatenate(
             [self._to_lanes(i.astype(jnp.int32), n_l) for i in idxs], axis=0
         )
-        ybuf, ylen = self._encode_y(vals_T, rows_T)
-        zbuf, zlen = self._encode_z(pend["z_sym"])
+        y_enc = self._encode_y(vals_T, rows_T)
+        z_enc = self._encode_z(pend["z_sym"])
 
-        # fetch 1: per-lane lengths (tiny); fetch 2: the word buffers
-        # sliced to the actual maximum — ~the bitstream size, not the
-        # worst-case escape bound
-        ylen_h, zlen_h = jax.device_get((ylen, zlen))
-        ylen_h = np.asarray(ylen_h)
-        zlen_h = np.asarray(zlen_h)
-        # uint16 on the wire: words are 16-bit; halves the bulk fetch
-        ybuf_h = np.asarray(
-            jax.device_get(
-                ybuf[:, : int(ylen_h.max())].astype(jnp.uint16)
-            )
-        )
-        zbuf_h = np.asarray(
-            jax.device_get(
-                zbuf[:, : int(zlen_h.max())].astype(jnp.uint16)
-            )
-        )
-
-        y_strings, z_strings = [], []
-        n_lz = zbuf_h.shape[0] // B
-        for b in range(B):
-            yl = ylen_h[b * n_l : (b + 1) * n_l]
-            yw = assemble_streams(ybuf_h[b * n_l : (b + 1) * n_l], yl)
-            y_strings.append(_pack_wire(yl, yw))
-            zl = zlen_h[b * n_lz : (b + 1) * n_lz]
-            zw = assemble_streams(zbuf_h[b * n_lz : (b + 1) * n_lz], zl)
-            z_strings.append(_pack_wire(zl, zw))
+        y_strings = [
+            _pack_wire(*parts) for parts in self._fetch_encoded(y_enc, B)
+        ]
+        z_strings = [
+            _pack_wire(*parts) for parts in self._fetch_encoded(z_enc, B)
+        ]
 
         out = {"strings": [y_strings, z_strings], "shape": pend["shape"]}
         if return_debug:
@@ -243,47 +301,110 @@ class DeviceWireCodec(CharmCodec):
 
     # --- decompress ---------------------------------------------------------
     @staticmethod
-    def _upload_words(blobs: List[bytes], sharding=None):
+    def _upload_words(blobs: List[bytes]):
         """Concatenate per-image wires into one flat padded word array +
-        per-lane offsets. Bucketed padding: only the integer decode
-        programs see the words shape, so recompiles per bucket cannot
-        perturb the float context."""
-        lens, words, offs = [], [], []
+        per-lane offsets + merged global escape arrays (host numpy).
+        Bucketed padding: only the integer decode programs see the words
+        shape, so recompiles per bucket cannot perturb the float context."""
+        lens, words, offs, dests, raws = [], [], [], [], []
         base = 0
-        for blob in blobs:
-            lengths, w = _unpack_wire(blob)
+        B = len(blobs)
+        n_l = None
+        for b, blob in enumerate(blobs):
+            lengths, w, dest, raw = _unpack_wire(blob)
+            n_l = lengths.shape[0]
             offs.append(lane_offsets(lengths) + base)
             base += int(w.shape[0])
             lens.append(lengths)
             words.append(w)
+            # image-local (t*n_l + l) -> global (t*(B*n_l) + b*n_l + l)
+            t = dest // n_l
+            l = dest - t * n_l
+            dests.append(t * (B * n_l) + b * n_l + l)
+            raws.append(raw)
         flat = np.concatenate(words)
         pad = _round_up(max(flat.shape[0], 1))
         flat = np.pad(flat, (0, pad - flat.shape[0]))
-        dev_words = jnp.asarray(flat.astype(np.int32))
+        dev_words = jnp.asarray(flat)  # uint16 upload; widened on device
         dev_off = jnp.asarray(np.concatenate(offs).astype(np.int32))
-        return dev_words, dev_off
+        dest = np.concatenate(dests).astype(np.int64)
+        raw = np.concatenate(raws).astype(np.int32)
+        order = np.argsort(dest, kind="stable")  # step-major across images
+        return dev_words, dev_off, dest[order], raw[order]
+
+    @staticmethod
+    def _esc_segment(dest, raw, lo: int, hi: int, cap: int | None = None):
+        """Escapes with global flat position in [lo, hi) -> device arrays
+        rebased to the segment grid, padded to a bucket (drop-scatter
+        ignores the padding).
+
+        ``cap``: pad size. Callers decoding several segments of one wire
+        pass ONE cap for all of them (the segment shape is part of the
+        jitted decode program's signature — per-segment caps would
+        recompile per slice, ~30 s of tunnel compiles per new batch)."""
+        a = np.searchsorted(dest, lo, side="left")
+        b = np.searchsorted(dest, hi, side="left")
+        seg = (dest[a:b] - lo).astype(np.int32)
+        n = max(int(b - a), 1)
+        if cap is None:
+            cap = max(64, 1 << (n - 1).bit_length())
+        fill = hi - lo  # out of grid -> dropped
+        return (
+            jnp.asarray(_pad_to(seg, cap, np.int32(fill))),
+            jnp.asarray(_pad_to(raw[a:b].astype(np.int32), cap, 0)),
+        )
+
+    @staticmethod
+    def _esc_cap(dest, n_segs: int, seg_size: int) -> int:
+        """One shared pad size: the largest per-segment escape count of
+        this wire, bucketed to a power of two."""
+        if dest.shape[0] == 0:
+            return 64
+        counts = np.bincount(
+            (dest // seg_size).astype(np.int64), minlength=n_segs
+        )
+        n = int(counts.max())
+        return max(64, 1 << max(n - 1, 1).bit_length())
 
     def _decompress_group(self, y_strings, z_strings, shape) -> Dict[str, Any]:
         v = self.variables
         zh, zw = shape
         B = len(y_strings)
 
-        zwords, zoff = self._upload_words(z_strings)
-        z_sym = self._decode_z_dev(zwords, zoff, B, zh, zw)
+        # enqueue the (big) y upload first: it rides the transfer engine
+        # while the z decode and context-prepare programs run
+        ywords, yoff, ydest, yraw = self._upload_words(y_strings)
+        zwords, zoff, zdest, zraw = self._upload_words(z_strings)
+
+        G = self._z_groups()
+        n_lz = B * zh * zw * G
+        Tz = self._eb_dev.num_rows // G
+        zd, zr = self._esc_segment(
+            zdest, zraw, 0, Tz * n_lz, cap=self._esc_cap(zdest, 1, Tz * n_lz)
+        )
+        z_sym = self._decode_z_dev(
+            zwords.astype(jnp.int32), zoff, B, zh, zw, zd, zr
+        )
         z_hat = self._z_dequant(v, z_sym)
         state = self._ctx_prepare(v, z_hat)
 
-        ywords, yoff = self._upload_words(y_strings)
+        ywords32 = ywords.astype(jnp.int32)
         y_hat_slices: List[jax.Array] = []
         mu, _, index, mean_support = self._slice_context(v, 0, state, [])
         S = self.model.ctx_slices
         rstate = rptr = None
-        n_l = None
+        n_l = cap = None
         for i in range(S):
             if n_l is None:
                 n_l = self._n_lanes(index.shape[1], index.shape[2])
+                L = B * n_l
+                Ts = (index.shape[1] * index.shape[2] // n_l) * index.shape[3]
+                cap = self._esc_cap(ydest, S, Ts * L)
+            yd, yr = self._esc_segment(
+                ydest, yraw, i * Ts * L, (i + 1) * Ts * L, cap=cap
+            )
             sym, rstate, rptr = self._decode_y_slice(
-                ywords, yoff, index, n_l, rstate, rptr
+                ywords32, yoff, index, n_l, rstate, rptr, yd, yr
             )
             if i + 1 < S:
                 out = self._step(

@@ -70,14 +70,17 @@ def test_rate_close_to_host_coder(setup):
 
 
 def test_wire_header_parses(setup):
-    """Per-image wires are self-describing (lanes, word counts)."""
+    """Per-image wires are self-describing (lanes, word and escape
+    counts); escape dests are in-grid and step-major sorted."""
     from icm_tpu.models.device_codec import _unpack_wire
 
     model, variables, x = setup
     codec = DeviceWireCodec(model, variables, lanes_per_image=4)
     enc = codec.compress(x)
     for blob in enc["strings"][0]:
-        lengths, words = _unpack_wire(blob)
+        lengths, words, dest, raw = _unpack_wire(blob)
         assert lengths.shape[0] == 4
         assert int(lengths.sum()) == words.shape[0]
         assert (lengths >= 2).all()
+        assert dest.shape == raw.shape
+        assert (np.diff(dest) > 0).all()  # strictly increasing positions

@@ -1,5 +1,5 @@
 """On-device lane-parallel rANS: roundtrip identity, numpy-oracle
-byte-equality, escape handling, stream continuation across calls.
+byte-equality, escape side channel, stream continuation across calls.
 
 The device wire is this framework's own format (the host coder keeps the
 reference-interoperable one); correctness contract is encode->decode
@@ -17,6 +17,7 @@ from icm_tpu.coding.device_rans import (
     build_device_tables,
     decode_lanes,
     encode_lanes,
+    fix_escapes,
     lane_offsets,
     np_encode,
 )
@@ -67,35 +68,43 @@ def _random_payload(rng, T, lanes, host, esc_frac=0.1):
     return values, rows
 
 
+def _encode(values, rows, dev):
+    """encode_lanes + host assembly -> (words i32 dev, off dev, dest, raw)."""
+    buf, lengths, dest, raw, n_esc = jax.jit(
+        lambda v, r: encode_lanes(v, r, dev)
+    )(jnp.asarray(values), jnp.asarray(rows))
+    ne = int(jax.device_get(n_esc))
+    words = assemble_streams(np.asarray(buf), np.asarray(lengths))
+    off = lane_offsets(np.asarray(lengths))
+    return (
+        jnp.asarray(words.astype(np.int32)),
+        jnp.asarray(off),
+        jnp.asarray(np.asarray(dest[:ne])),
+        jnp.asarray(np.asarray(raw[:ne])),
+        np.asarray(lengths),
+    )
+
+
+def _roundtrip(values, rows, dev):
+    words, off, dest, raw, _ = _encode(values, rows, dev)
+    out, _, _ = jax.jit(lambda w, o, r: decode_lanes(w, o, r, dev))(
+        words, off, jnp.asarray(rows)
+    )
+    return np.asarray(fix_escapes(out, dest, raw))
+
+
 class TestRoundtrip:
     def test_identity(self, tables):
         host, dev = tables
         rng = np.random.default_rng(1)
-        T, lanes = 23, 17
-        values, rows = _random_payload(rng, T, lanes, host)
-        buf, lengths = jax.jit(lambda v, r: encode_lanes(v, r, dev))(
-            jnp.asarray(values), jnp.asarray(rows)
-        )
-        words = assemble_streams(np.asarray(buf), np.asarray(lengths))
-        off = lane_offsets(np.asarray(lengths))
-        out, _, _ = jax.jit(lambda w, o, r: decode_lanes(w, o, r, dev))(
-            jnp.asarray(words.astype(np.int32)), jnp.asarray(off),
-            jnp.asarray(rows),
-        )
-        np.testing.assert_array_equal(np.asarray(out), values)
+        values, rows = _random_payload(rng, 23, 17, host)
+        np.testing.assert_array_equal(_roundtrip(values, rows, dev), values)
 
     def test_no_escapes(self, tables):
         host, dev = tables
         rng = np.random.default_rng(2)
         values, rows = _random_payload(rng, 31, 5, host, esc_frac=0.0)
-        buf, lengths = encode_lanes(jnp.asarray(values), jnp.asarray(rows), dev)
-        words = assemble_streams(np.asarray(buf), np.asarray(lengths))
-        out, _, _ = decode_lanes(
-            jnp.asarray(words.astype(np.int32)),
-            jnp.asarray(lane_offsets(np.asarray(lengths))),
-            jnp.asarray(rows), dev,
-        )
-        np.testing.assert_array_equal(np.asarray(out), values)
+        np.testing.assert_array_equal(_roundtrip(values, rows, dev), values)
 
     def test_all_escapes_int32_extremes(self, tables):
         host, dev = tables
@@ -110,42 +119,45 @@ class TestRoundtrip:
             ),
             size=(T, lanes),
         ).astype(np.int32)
-        buf, lengths = encode_lanes(jnp.asarray(values), jnp.asarray(rows), dev)
-        words = assemble_streams(np.asarray(buf), np.asarray(lengths))
-        out, _, _ = decode_lanes(
-            jnp.asarray(words.astype(np.int32)),
-            jnp.asarray(lane_offsets(np.asarray(lengths))),
-            jnp.asarray(rows), dev,
-        )
-        np.testing.assert_array_equal(np.asarray(out), values)
+        np.testing.assert_array_equal(_roundtrip(values, rows, dev), values)
 
     def test_matches_numpy_oracle_bytes(self, tables):
-        """Device emissions byte-identical to the scalar mirror."""
+        """Device emissions + side channel byte-identical to the mirror."""
         host, dev = tables
         rng = np.random.default_rng(4)
         values, rows = _random_payload(rng, 13, 6, host, esc_frac=0.2)
-        buf, lengths = encode_lanes(jnp.asarray(values), jnp.asarray(rows), dev)
-        words = assemble_streams(np.asarray(buf), np.asarray(lengths))
-        ref_words, ref_lengths = np_encode(values, rows, host)
-        np.testing.assert_array_equal(np.asarray(lengths), ref_lengths)
-        np.testing.assert_array_equal(words, ref_words)
+        words, off, dest, raw, lengths = _encode(values, rows, dev)
+        ref_words, ref_lengths, ref_dest, ref_raw = np_encode(
+            values, rows, host
+        )
+        np.testing.assert_array_equal(lengths, ref_lengths)
+        np.testing.assert_array_equal(
+            np.asarray(words).astype(np.uint16), ref_words
+        )
+        np.testing.assert_array_equal(np.asarray(dest), ref_dest)
+        np.testing.assert_array_equal(np.asarray(raw), ref_raw)
 
     def test_continuation_across_calls(self, tables):
         """Decoding T symbols in two chunks threads (state, ptr) exactly:
         the ChARM slice loop continues each lane's stream per slice."""
         host, dev = tables
         rng = np.random.default_rng(5)
-        values, rows = _random_payload(rng, 20, 3, host)
-        buf, lengths = encode_lanes(jnp.asarray(values), jnp.asarray(rows), dev)
-        words = jnp.asarray(
-            assemble_streams(np.asarray(buf), np.asarray(lengths)).astype(
-                np.int32
-            )
-        )
-        off = jnp.asarray(lane_offsets(np.asarray(lengths)))
+        T, lanes = 20, 3
+        values, rows = _random_payload(rng, T, lanes, host)
+        words, off, dest, raw, _ = _encode(values, rows, dev)
+        dest_h = np.asarray(dest)
+        raw_h = np.asarray(raw)
+        cut = 8 * lanes
+        sel = dest_h < cut
         out1, st, ptr = decode_lanes(words, off, jnp.asarray(rows[:8]), dev)
+        out1 = fix_escapes(
+            out1, jnp.asarray(dest_h[sel]), jnp.asarray(raw_h[sel])
+        )
         out2, _, _ = decode_lanes(
             words, off, jnp.asarray(rows[8:]), dev, state=st, ptr=ptr
+        )
+        out2 = fix_escapes(
+            out2, jnp.asarray(dest_h[~sel] - cut), jnp.asarray(raw_h[~sel])
         )
         np.testing.assert_array_equal(
             np.concatenate([np.asarray(out1), np.asarray(out2)]), values
@@ -163,10 +175,10 @@ class TestRoundtrip:
         values = np.full((T, lanes), base, np.int32)
         spice = rng.random((T, lanes)) < 0.05
         values = np.where(spice, base + 1, values)
-        buf, lengths = encode_lanes(jnp.asarray(values), jnp.asarray(rows), dev)
+        _, _, _, _, lengths = _encode(values, rows, dev)
         cdf = host.quantized_cdf[0]
         p0 = (cdf[1] - cdf[0]) / 65536.0
         p1 = (cdf[2] - cdf[1]) / 65536.0
         ideal_bits = T * -(0.95 * np.log2(p0) + 0.05 * np.log2(p1))
-        actual_bits = float(np.asarray(lengths).mean() - 2) * 16
+        actual_bits = float(lengths.mean() - 2) * 16
         assert actual_bits < ideal_bits * 1.35 + 64

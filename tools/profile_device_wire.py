@@ -100,7 +100,7 @@ def main():
     rows_T = jnp.concatenate(
         [codec._to_lanes(i.astype(jnp.int32), n_l) for i in idxs], 0
     )
-    te, (ybuf, ylen) = t(codec._encode_y, vals_T, rows_T)
+    te, (ybuf, ylen, ydest, yraw, yn) = t(codec._encode_y, vals_T, rows_T)
     report["rans_encode_y_s"] = round(te, 3)
     report["y_steps_lanes"] = list(vals_T.shape)
     tez, _ = t(codec._encode_z, pend["z_sym"])
@@ -115,21 +115,36 @@ def main():
     # ---- decode stages ------------------------------------------------------
     y_strings, z_strings = enc["strings"]
     t0 = time.time()
-    zwords, zoff = codec._upload_words(z_strings)
-    ywords, yoff = codec._upload_words(y_strings)
+    zwords, zoff, zdest, zraw = codec._upload_words(z_strings)
+    ywords, yoff, ydest_h, yraw_h = codec._upload_words(y_strings)
     sync(ywords[:8])
     report["upload_s"] = round(time.time() - t0, 3)
 
     zh, zw = enc["shape"]
-    tz, z_sym = t(codec._decode_z_dev, zwords, zoff, args.batch, zh, zw)
+    G = codec._z_groups()
+    n_lz = args.batch * zh * zw * G
+    Tz = codec._eb_dev.num_rows // G
+    zd, zr = codec._esc_segment(zdest, zraw, 0, Tz * n_lz)
+    tz, z_sym = t(
+        lambda w, o: codec._decode_z_dev(
+            w.astype(jnp.int32), o, args.batch, zh, zw, zd, zr
+        ),
+        zwords, zoff,
+    )
     report["rans_decode_z_s"] = round(tz, 3)
 
     z_hat = codec._z_dequant(v, z_sym)
     state = codec._ctx_prepare(v, z_hat)
     mu, _, index, ms = codec._slice_context(v, 0, state, [])
     sync(index)
+    L = args.batch * n_l
+    Ts = (index.shape[1] * index.shape[2] // n_l) * index.shape[3]
+    yd, yr = codec._esc_segment(ydest_h, yraw_h, 0, Ts * L)
     td, (sym0, rst, rpt) = t(
-        codec._decode_y_slice, ywords, yoff, index, n_l, None, None
+        lambda w, o: codec._decode_y_slice(
+            w.astype(jnp.int32), o, index, n_l, None, None, yd, yr
+        ),
+        ywords, yoff,
     )
     report["rans_decode_y_slice0_s"] = round(td, 3)
     tstep, _ = t(codec._step, v, 0, state, [], sym0, mu, ms)
