@@ -93,6 +93,7 @@ class DeviceCoderTables:
     fc: jax.Array  # uint32 (n, max_sym + 1)
     esc_sym: jax.Array  # int32 (n,) = cdf_length - 2 (bypass symbol)
     offset: jax.Array  # int32 (n,)
+    eo: jax.Array  # int32 (n, 2) = (esc_sym, offset) pair-gather table
 
     @property
     def num_rows(self) -> int:
@@ -132,11 +133,15 @@ def build_device_tables(t: EntropyTables) -> DeviceCoderTables:
         lut2[r, :, 1] = (freq[s].astype(np.uint32) << 16) | start.astype(
             np.uint32
         )
+    eo = np.stack(
+        [(lens - 2).astype(np.int32), offs.astype(np.int32)], axis=1
+    )
     return DeviceCoderTables(
         lut2=jnp.asarray(lut2.reshape(-1, 2)),
         fc=jnp.asarray(fc),
         esc_sym=jnp.asarray((lens - 2).astype(np.int32)),
         offset=jnp.asarray(offs.astype(np.int32)),
+        eo=jnp.asarray(eo),
     )
 
 
@@ -235,9 +240,11 @@ def encode_lanes(
     lane_ids = jnp.arange(lanes)
 
     # escapes + per-symbol (freq, low) resolved before the scan: these are
-    # bulk (T, lanes) gathers, not per-step work
-    u = values_T - tables.offset[rows_T]
-    es = tables.esc_sym[rows_T]
+    # bulk (T, lanes) gathers, not per-step work. (esc_sym, offset) come
+    # from ONE pair gather — gather count is what the hardware charges for
+    eo = tables.eo[rows_T]
+    u = values_T - eo[..., 1]
+    es = eo[..., 0]
     esc = (u < 0) | (u >= es)
     s = jnp.where(esc, es, u)
     fcv = fc_flat[rows_T * n_sym + s]
@@ -275,7 +282,8 @@ def encode_lanes(
     buf = buf.at[lane_ids, 0].set((state >> 16).astype(jnp.int32))
     buf = buf.at[lane_ids, 1].set((state & _MASK16).astype(jnp.int32))
 
-    # escape side channel, step-major compaction
+    # escape side channel, step-major compaction (two flat scatters: a
+    # single (N, 2) row scatter measured 2.5x SLOWER than these on v5e)
     esc_flat = esc.reshape(-1)
     e32 = esc_flat.astype(jnp.int32)
     rank = jnp.cumsum(e32) - e32
