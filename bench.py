@@ -199,19 +199,29 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument(
-        "--wire", choices=("host", "device"), default="host",
-        help="host = reference-interoperable coder (host rANS, per-slice "
-        "link round-trips on decode); device = TPU-native wire with "
-        "on-device lane-parallel rANS (zero intermediate round-trips).",
+        "--wire", choices=("host", "device"), default="device",
+        help="device (default) = TPU-native wire with on-device "
+        "lane-parallel rANS (zero intermediate round-trips; measured 2x "
+        "the host wire enc+dec at 512px/b32); host = the reference-"
+        "interoperable coder (host rANS, per-slice link round-trips on "
+        "decode).",
     )
     p.add_argument(
-        "--lanes", type=int, default=256,
+        "--lanes", type=int, default=1024,
         help="device wire: rANS streams per image (see DeviceWireCodec)",
     )
     p.add_argument(
         "--narrow", type=float, default=1.0,
         help="encoder-side residual scaling (<1 = trained-like symbol "
         "statistics from untrained weights; see codec.enc_round)",
+    )
+    p.add_argument(
+        "--act-dtype", choices=("f32", "bf16"), default="f32",
+        help="activation dtype for the CODEC's transform programs. The "
+        "roundtrip stays bitexact either way (encoder and decoder share "
+        "the same compiled programs); bf16 shifts a few rounding "
+        "boundaries vs the f32 eval path, i.e. it is a (tiny) RD-vs-"
+        "throughput trade.",
     )
     args = p.parse_args(argv)
     size = args.size
@@ -326,6 +336,13 @@ def main(argv=None):
     # is per BATCH, not per image, so large batches amortize it: measured
     # sweep (tools/probe_batch.py) peaks at batch 32-48 with 8 groups
     # (17.7-18.5 img/s vs 6.6 at batch 4).
+    if args.act_dtype == "bf16" and not degraded:
+        # set BEFORE the codec constructs/traces its programs: the nn
+        # layers read the policy at trace time (set_activation_dtype)
+        from icm_tpu.nn import set_activation_dtype
+
+        set_activation_dtype(jnp.bfloat16)
+
     groups = max(1, min(8, batch // 4))
     if scan_fwd:
         from icm_tpu.models.stf_family import unstack_zigzag_params
@@ -403,6 +420,7 @@ def main(argv=None):
         "model": args.model,
         "wire": args.wire,
         "narrow": args.narrow,
+        "act_dtype": args.act_dtype,
         "bpp_untrained": round(bpp, 3),
         "fwd_images_per_sec": round(fwd_ips, 1),
         "fwd_bf16_images_per_sec": round(fwd16_ips, 1),
