@@ -45,9 +45,15 @@ from eval_model import build_codec  # noqa: E402
 # O(tokens) link round-trips, so they run at 128px; slice-AR families
 # run at the 256px config the round-2 rows used.
 FAMILIES = {
+    "cnn": (256, 4),
+    "stf": (256, 4),
     "stf2": (128, 4),
     "stf3": (128, 4),
     "stf4": (128, 4),
+    "stf5": (256, 4),
+    "stf6": (256, 4),
+    "stf7": (256, 4),
+    "stf8": (256, 4),
     "czigzag": (256, 4),
     "stf9": (256, 4),
     "stf12": (256, 4),
@@ -71,6 +77,14 @@ def bench_family(
     # degenerates at token 0 — ClipEncoder4 docstring)
     kwargs = {"causal": True} if name == "stf4" else {}
     model = create_model(name, **kwargs)
+    # stf5-8: the UNROLLED forward graph overflows the remote compile
+    # helper (bench.py) — init the scanned variant; the codec below gets
+    # the same weights unstacked back to the per-slice protocol
+    from icm_tpu.models.stf_family import ZigzagSwinCodec
+
+    scan_init = isinstance(model, ZigzagSwinCodec)
+    if scan_init:
+        model = model.clone(scan_charm=True)
     # near-midgray input: in-range symbols comparable to a trained
     # model's statistics (see bench.py)
     key = jax.random.PRNGKey(0)
@@ -95,9 +109,12 @@ def bench_family(
     else:
         codec, kind = build_codec(name, model, variables)
         if narrow != 1.0:
-            try:  # rebuild with encoder-side narrowing where supported
+            try:  # rebuild with encoder-side narrowing where supported;
+                # use the CODEC's model/variables — build_codec descans
+                # stf5-8's stacked scan params to the per-slice protocol
                 codec = type(codec)(
-                    model, variables, tables=codec.tables, narrow=narrow
+                    codec.model, codec.variables,
+                    tables=codec.tables, narrow=narrow,
                 )
             except TypeError:
                 # teacher-forced one-shot encoders (stf3/stf4) cannot
