@@ -90,6 +90,7 @@ def run_training(
     data_parallel: bool = True,
     extra_rngs=("noise",),
     make_eval=None,
+    visualizer=None,
 ):
     """Generic loop. ``make_step(model, criterion)`` returns the step fn;
     ``train_batches(epoch)`` yields batches (arrays or tuples);
@@ -203,6 +204,11 @@ def run_training(
             f"best={best_loss:.4f} ({time.time() - t0:.1f}s)",
             flush=True,
         )
+        if visualizer is not None:  # file-based curves (utils/visualizer)
+            visualizer.vis_scalar("train_loss", epoch, meter.avg)
+            visualizer.vis_scalar("test_loss", epoch, test_loss)
+            visualizer.vis_scalar("lr", epoch, learning_rate)
+            visualizer.vis_scalar("epoch_seconds", epoch, time.time() - t0)
         if save_path and is_best:
             save_checkpoint(
                 save_path, state,

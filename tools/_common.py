@@ -42,7 +42,22 @@ def base_parser(default_model: str, default_lmbda: float = 1e-2):
         help="bf16 activation pipeline for the transforms (f32 master "
         "params and entropy math; see icm_tpu.nn.set_activation_dtype)",
     )
+    p.add_argument(
+        "--vis-dir", default=None,
+        help="write per-epoch loss/lr curves as JSONL under this "
+        "directory (file-based analog of the reference's visdom "
+        "dashboard; icm_tpu.utils.visualizer)",
+    )
     return p
+
+
+def make_visualizer(args):
+    """Visualizer from --vis-dir (None when unset)."""
+    if not getattr(args, "vis_dir", None):
+        return None
+    from icm_tpu.utils.visualizer import Visualizer
+
+    return Visualizer(logdir=args.vis_dir, env=args.model)
 
 
 def apply_precision(args):

@@ -11,7 +11,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools._common import apply_precision, base_parser, image_batch_providers, model_kwargs  # noqa: E402
+from tools._common import apply_precision, base_parser, image_batch_providers, make_visualizer, model_kwargs  # noqa: E402
 
 
 def main(argv=None):
@@ -40,6 +40,7 @@ def main(argv=None):
         seed=args.seed,
         save_path=args.save,
         checkpoint=args.checkpoint,
+        visualizer=make_visualizer(args),
     )
 
 
