@@ -33,6 +33,19 @@ for name, dt in [("f32", None), ("bf16", jnp.bfloat16)]:
         float(jax.device_get(m["loss"]))
         ts.append(time.time() - t0)
     med = float(np.median(ts))
-    print(json.dumps({"variant": name, "step_s": round(med, 4),
-                      "train_img_per_s": round(batch / med, 1)}), flush=True)
+    row = {"variant": name, "step_s": round(med, 4),
+           "train_img_per_s": round(batch / med, 1)}
+    try:  # train-step MFU/HBM roofline from compiled cost analysis
+        from icm_tpu.utils.roofline import RooflineReport, costs_of
+
+        costs = costs_of(step, state, x, rng)
+        if costs:
+            row["roofline"] = RooflineReport(
+                costs["flops"], costs["bytes"], med,
+                dtype=("bfloat16" if dt is not None else "float32"),
+                on_tpu=jax.default_backend() not in ("cpu",),
+            ).summary(per=batch)
+    except Exception as e:  # pricing must never break the measurement
+        row["roofline_error"] = str(e)[:80]
+    print(json.dumps(row), flush=True)
 set_activation_dtype(None)
