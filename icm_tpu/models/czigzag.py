@@ -32,6 +32,62 @@ from .base import CompressionModel, sliding_support
 from .cnn import _CCTransform
 
 
+class _CzigzagScanStep(nn.Module):
+    """One AR step of czigzag's conditioned zigzag loop under ``nn.scan``
+    with stacked per-slice weights (the same trick as
+    stf_family._ZigzagScanStep): the decoded-slice support is padded to
+    ``max_support`` width with zeros (right-aligned, newest last) so the
+    scanned computation equals the unrolled loop while the conditioned
+    context compiles ONCE instead of ``ctx_slices`` times. czigzag's
+    context additionally concatenates a look-ahead window of hyper-context
+    zigzag blocks (reference czigzag.py:1102-1110) — carried as a third
+    stacked conditioning tensor."""
+
+    slice_ch: int
+    cc_widths: Tuple[int, ...]
+    max_support: int
+    window: int  # support_num: look-ahead width of mean/scale/hctx blocks
+    n_steps: int
+    training: bool = True
+
+    @nn.compact
+    def __call__(self, carry, y_slice):
+        from ..entropy import GaussianConditional as _GC
+
+        cond_m, cond_s, hctx, buf, i = carry
+        w = self.window
+        # blocks[i:i+w] with tail clamp blocks[N-w:] (czigzag.py:1104)
+        start = jnp.minimum(i, self.n_steps - w)
+        pick = lambda t: jnp.concatenate(
+            [
+                jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)[j]
+                for j in range(w)
+            ],
+            axis=-1,
+        )
+        cm, cs, hc = pick(cond_m), pick(cond_s), pick(hctx)
+
+        mean_support = jnp.concatenate([cm, buf, hc], axis=-1)
+        mu = _CCTransform(self.slice_ch, self.cc_widths, name="cc_mean")(
+            mean_support
+        )
+        scale_support = jnp.concatenate([cs, buf, hc], axis=-1)
+        scale = _CCTransform(self.slice_ch, self.cc_widths, name="cc_scale")(
+            scale_support
+        )
+        _, lik = _GC(name="gc")(y_slice, scale, mu, training=self.training)
+        y_hat = ste_round(y_slice - mu) + mu
+        lrp_support = jnp.concatenate([mean_support, y_hat], axis=-1)
+        lrp = _CCTransform(self.slice_ch, self.cc_widths, name="lrp")(
+            lrp_support
+        )
+        y_hat = y_hat + 0.5 * jnp.tanh(lrp)
+
+        sc = self.slice_ch
+        buf = jnp.concatenate([buf[..., sc:], y_hat], axis=-1)
+        return (cond_m, cond_s, hctx, buf, i + 1), (y_hat, lik)
+
+
 class conditionalZigzag(CompressionModel):
     embed_dim: int = 48
     depths: Tuple[int, ...] = (2, 2, 6, 2)
@@ -44,6 +100,12 @@ class conditionalZigzag(CompressionModel):
     support_num: int = 6
     hyper_depths: Tuple[int, ...] = (2, 6)
     cc_widths: Tuple[int, ...] = (224, 176, 128, 64)
+    # scan_charm=True runs the conditioned AR loop as ONE lax.scan with
+    # stacked per-slice weights — numerically equal to the unrolled loop,
+    # but the context compiles once instead of ctx_slices times (the
+    # czigzag warmup was dominated by 16 per-slice compiles). The
+    # unrolled path remains the protocol the real coder drives.
+    scan_charm: bool = False
 
     @property
     def latent_dim(self) -> int:
@@ -260,6 +322,7 @@ class conditionalZigzag(CompressionModel):
     def eb_medians(self):
         return self.entropy_bottleneck.medians()[:, 0, 0]
 
+    @nn.compact
     def __call__(self, x, up_x4, training: bool = True):
         ctx_list, hyper_ctx, hyper_ctx2, decoder_contexts = self.ctx_pyramids(
             up_x4, training=training
@@ -273,6 +336,43 @@ class conditionalZigzag(CompressionModel):
 
         state = self.ctx_prepare_cond(z_hat, hyper_ctx, hyper_ctx2)
         y_blocks = self.latent_slices(y)
+
+        if self.scan_charm:
+            y_stack = jnp.stack(y_blocks, axis=0)  # (N, B, h', w', sc)
+            N, B, h, w, sc = y_stack.shape
+            cond_m = jnp.stack(state["means"], axis=0)
+            cond_s = jnp.stack(state["scales"], axis=0)
+            hctx = jnp.stack(state["hctx"], axis=0)
+            buf = jnp.zeros((B, h, w, self.max_support * sc), y.dtype)
+            Scan = nn.scan(
+                _CzigzagScanStep,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "noise": True, "dropout": True},
+                in_axes=0,
+                out_axes=0,
+                length=N,
+            )
+            _, (y_hat_stack, lik_stack) = Scan(
+                slice_ch=sc,
+                cc_widths=self.cc_widths,
+                max_support=self.max_support,
+                window=min(self.support_num, N),
+                n_steps=N,
+                training=training,
+                name="czigzag_scan",
+            )((cond_m, cond_s, hctx, buf, jnp.int32(0)), y_stack)
+            y_hat = self.ctx_assemble([y_hat_stack[i] for i in range(N)])
+            y_likelihoods = jnp.concatenate(
+                [lik_stack[i] for i in range(N)], axis=-1
+            )
+            x_hat = self.synthesize_cond(
+                y_hat, decoder_contexts, training=training
+            )
+            return {
+                "x_hat": x_hat,
+                "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+            }
+
         support_fn = sliding_support(self.max_support)
         y_hat_slices, y_likelihood = [], []
         for i in range(self.ctx_slices):
@@ -295,3 +395,94 @@ class conditionalZigzag(CompressionModel):
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
         }
+
+
+def _czigzag_dims(model: "conditionalZigzag"):
+    n = model.ctx_slices
+    sc = model.latent_dim // model.num_slices
+    w = min(model.support_num, n)
+    return n, sc, w * sc, model.max_support
+
+
+def stack_czigzag_params(params: dict, model: "conditionalZigzag") -> dict:
+    """Unrolled conditionalZigzag params -> params for the same model with
+    ``scan_charm=True`` (numerically identical forward; see
+    tests/test_czigzag.py). Per-slice ``Conv_0`` kernels are zero-padded to
+    the scan's fixed support width: input sections are
+    [cond window | decoded support (k->max, right-aligned) | hctx window
+    (+ y_hat for lrp)]."""
+    n, sc, cond_w, max_sup = _czigzag_dims(model)
+
+    def group(tag: str, lrp: bool = False):
+        outs = []
+        for i in range(n):
+            tree = params[f"{tag}_{i}"]
+            k = min(i, max_sup)
+            kern = np.asarray(tree["Conv_0"]["kernel"])
+            kh, kw, _, cout = kern.shape
+            tail = cond_w + (sc if lrp else 0)  # hctx window (+ y_hat)
+            new = np.zeros(
+                (kh, kw, cond_w + max_sup * sc + tail, cout), kern.dtype
+            )
+            new[:, :, :cond_w] = kern[:, :, :cond_w]
+            off = cond_w + (max_sup - k) * sc  # sliding: right-align newest
+            new[:, :, off : off + k * sc] = kern[
+                :, :, cond_w : cond_w + k * sc
+            ]
+            new[:, :, cond_w + max_sup * sc :] = kern[:, :, cond_w + k * sc :]
+            outs.append(
+                {
+                    key: (
+                        {
+                            "kernel": new,
+                            "bias": np.asarray(tree["Conv_0"]["bias"]),
+                        }
+                        if key == "Conv_0"
+                        else tree[key]
+                    )
+                    for key in tree
+                }
+            )
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *outs
+        )
+
+    scan = {
+        "cc_mean": group("cc_mean"),
+        "cc_scale": group("cc_scale"),
+        "lrp": group("lrp", lrp=True),
+    }
+    drop = {
+        f"{t}_{i}" for t in ("cc_mean", "cc_scale", "lrp") for i in range(n)
+    }
+    out = {k: v for k, v in params.items() if k not in drop}
+    out["czigzag_scan"] = scan
+    return out
+
+
+def unstack_czigzag_params(
+    scan_params: dict, model: "conditionalZigzag"
+) -> dict:
+    """Inverse of stack_czigzag_params (drops the zero padding, which
+    carries no information)."""
+    n, sc, cond_w, max_sup = _czigzag_dims(model)
+    out = {}
+    for tag in ("cc_mean", "cc_scale", "lrp"):
+        stacked = scan_params[tag]
+        for i in range(n):
+            tree = jax.tree_util.tree_map(
+                lambda x: np.asarray(x[i]), stacked
+            )
+            k = min(i, max_sup)
+            kern = tree["Conv_0"]["kernel"]
+            off = cond_w + (max_sup - k) * sc
+            tree["Conv_0"]["kernel"] = np.concatenate(
+                [
+                    kern[:, :, :cond_w],
+                    kern[:, :, off : off + k * sc],
+                    kern[:, :, cond_w + max_sup * sc :],
+                ],
+                axis=2,
+            )
+            out[f"{tag}_{i}"] = tree
+    return out

@@ -167,6 +167,15 @@ def descan_for_codec(model, variables):
         variables = dict(variables)
         variables["params"] = p
         model = unrolled
+    elif "czigzag_scan" in params:
+        from icm_tpu.models.czigzag import unstack_czigzag_params
+
+        unrolled = model.clone(scan_charm=False)
+        p = dict(params)
+        p.update(unstack_czigzag_params(p.pop("czigzag_scan"), unrolled))
+        variables = dict(variables)
+        variables["params"] = p
+        model = unrolled
     import jax
 
     return model, jax.device_put(variables)
