@@ -533,12 +533,22 @@ def _unfold_scramble(win):
 
 
 class ClipEncoder(_MaskedBase):
-    """stf2: autoregressive attention context over window tokens."""
+    """stf2: autoregressive attention context over window tokens.
+
+    ``scan_tokens=True`` runs the token AR loop as ONE ``lax.scan``:
+    every step shares the same attention context + conv heads (the
+    reference reuses one muContextModel/sigmaContextModel across all
+    tokens, stf2.py:762-768), so no weight stacking is needed and the
+    parameter tree is IDENTICAL to the unrolled path — checkpoints work
+    in both modes unchanged. Step 0 is peeled outside the scan because
+    the reference concatenates its context in a different order
+    (stf2.py:1085-1089 vs 1131-1133)."""
 
     num_slices: int = 4
     mask_win_size: int = 8
     num_sliding: int = 6
     num_stride_sliding: int = 1
+    scan_tokens: bool = False
 
     def setup(self):
         self._setup_transforms()
@@ -586,6 +596,67 @@ class ClipEncoder(_MaskedBase):
             k = tokens.shape[1]
             h = tokens.reshape(B, k, Cp, ws, ws)
             return h.transpose(0, 3, 4, 1, 2).reshape(B, ws, ws, k * Cp)
+
+        if self.scan_tokens:
+            # step 0 peeled: its concat order differs (stf2.py:1085-1089)
+            prev0 = jnp.zeros((B, s, D), y_tok.dtype)
+            mu0, scale0, ctxmu0 = self.token_context(
+                m_win[:, 0], s_win[:, 0], prev0, first_step=True
+            )
+            y_slice0 = (
+                y_tok[:, 0].reshape(B, Cp, ws, ws).transpose(0, 2, 3, 1)
+            )
+            _, lik0 = self.gaussian_conditional(
+                y_slice0, scale0, mu0, training=training
+            )
+            y_hat0 = ste_round(y_slice0 - mu0) + mu0
+            y_hat0 = y_hat0 + self.token_lrp(ctxmu0, y_hat0)
+            tok0 = y_hat0.transpose(0, 3, 1, 2).reshape(B, D)
+            buf = jnp.concatenate([prev0[:, 1:], tok0[:, None]], axis=1)
+
+            def body(mdl, buf, xs):
+                m_i, s_i, y_i = xs
+                mu, scale, ctxmu = mdl.token_context(m_i, s_i, buf)
+                y_slice = y_i.reshape(B, Cp, ws, ws).transpose(0, 2, 3, 1)
+                _, lik = mdl.gaussian_conditional(
+                    y_slice, scale, mu, training=training
+                )
+                y_hat = ste_round(y_slice - mu) + mu
+                y_hat = y_hat + mdl.token_lrp(ctxmu, y_hat)
+                tok = y_hat.transpose(0, 3, 1, 2).reshape(B, D)
+                return (
+                    jnp.concatenate([buf[:, 1:], tok[:, None]], axis=1),
+                    (tok, lik),
+                )
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False, "noise": True, "dropout": True},
+                in_axes=1,
+                out_axes=1,
+            )
+            _, (toks, liks) = scan(
+                self, buf, (m_win[:, 1:], s_win[:, 1:], y_tok[:, 1:])
+            )
+            y_hat_toks = [tok0] + [toks[:, j] for j in range(N - 1)]
+            y_liks = [lik0] + [liks[:, j] for j in range(N - 1)]
+            zz = jnp.stack(
+                [
+                    t.reshape(B, Cp, ws, ws).transpose(0, 2, 3, 1)
+                    for t in y_hat_toks
+                ],
+                axis=1,
+            )
+            y_hat = self._merge(zz, nH, nW)
+            H, W = y.shape[1:3]
+            y_hat = y_hat[:, :H, :W]
+            y_lik = jnp.concatenate(y_liks, axis=-1)
+            x_hat = self.g_s(y_hat, deterministic=not training)
+            return {
+                "x_hat": x_hat,
+                "likelihoods": {"y": y_lik, "z": z_lik},
+            }
 
         y_hat_toks = []
         y_liks = []

@@ -206,3 +206,34 @@ def test_czigzag_scan_trains():
     g = jax.grad(loss)(v["params"])
     k = g["czigzag_scan"]["cc_mean"]["Conv_0"]["kernel"]
     assert np.any(np.asarray(k) != 0)
+
+
+def test_stf2_scan_tokens_equals_unrolled():
+    """scan_tokens=True (token AR loop as one lax.scan; weights shared
+    across steps so the param tree is IDENTICAL) reproduces the unrolled
+    loop exactly, including the peeled step-0 concat order."""
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    unrolled = create_model(
+        "stf2", **TINY_SWIN, num_slices=2, mask_win_size=2, num_sliding=3
+    )
+    vu = _init(unrolled, x)
+    out_u = unrolled.apply(vu, x, training=False)
+
+    scanned = create_model(
+        "stf2", **TINY_SWIN, num_slices=2, mask_win_size=2, num_sliding=3,
+        scan_tokens=True,
+    )
+    vs = _init(scanned, x)
+    assert jax.tree_util.tree_structure(vu) == jax.tree_util.tree_structure(
+        vs
+    ), "scan_tokens must not change the parameter tree"
+    out_s = scanned.apply(vu, x, training=False)  # same checkpoint verbatim
+
+    np.testing.assert_allclose(
+        np.asarray(out_s["x_hat"]), np.asarray(out_u["x_hat"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["likelihoods"]["y"]),
+        np.asarray(out_u["likelihoods"]["y"]),
+        atol=2e-6,
+    )
