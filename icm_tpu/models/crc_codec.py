@@ -34,17 +34,104 @@ from .codec import _eb_indexes, build_codec_tables, enc_round
 from .pipelining import group_bounds, merge_outputs, run_groups, split_strings
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _q_sym(t, offset, narrow):
+    """Device-side symbol quantization (int32, stays on device)."""
+    return enc_round(t - offset, narrow).astype(jnp.int32)
+
+
+@jax.jit
+def _dq_sym(sym, offset):
+    return sym.astype(jnp.float32) + offset
+
+
+def _device_charm_loop(driver, v, state, ctx_slices, support_fn,
+                       y_slices=None, ydec=None):
+    """The charm layer AR loop against the DEVICE wire: encode keeps
+    symbols/indexes on device (no per-slice fetch at all); decode pulls
+    each slice's symbols from a ``_YStreamDecoder`` — one async device
+    dispatch per slice, zero round-trips (the host codec path crosses the
+    link once per slice on decode, reference cnn.py:306-327)."""
+    slices, sym32s, idxs = [], [], []
+    mu, _, index, ms = driver.slice_context(v, 0, state, support_fn(0, []))
+    for i in range(ctx_slices):
+        if ydec is None:
+            _, _, sym = driver.quantize(v, i, y_slices[i], mu)
+        else:
+            sym = ydec.decode_slice(index)
+        out = driver.step(
+            v, i, support_fn, state, slices, sym, mu, ms, ctx_slices
+        )
+        sym32s.append(sym)
+        idxs.append(index)
+        slices.append(out[0])
+        if len(out) > 1:
+            mu, index, ms = out[1], out[2], out[3]
+    return slices, sym32s, idxs
+
+
+def _device_encode_layer(codec, driver, v, y, z_key, ctx_slices, support_fn,
+                         z=None):
+    """Charm layer encode over the device wire: z + y coded by the
+    lane-parallel on-device rANS (DeviceWireKit)."""
+    kit = codec.kit
+    if z is None:
+        z = driver.h_a(v, y)
+    med = driver.eb_medians(v)
+    z_sym = _q_sym(z, med, codec.narrow)
+    z_strings = kit.encode_z(z_sym, z_key)
+    z_hat = _dq_sym(z_sym, med)
+    state = driver.ctx_prepare(v, z_hat)
+    y_slices = driver.latent_slices(v, y)
+    slices, sym32s, idxs = _device_charm_loop(
+        driver, v, state, ctx_slices, support_fn, y_slices=y_slices
+    )
+    y_strings = kit.encode_y_slices(sym32s, idxs)
+    return y_strings, z_strings, driver.assemble(v, slices), z.shape[1:3]
+
+
+def _device_decode_layer(codec, driver, v, y_strings, z_strings, shape_hw,
+                         z_key, ctx_slices, support_fn):
+    kit = codec.kit
+    # y upload first: it rides the transfer engine under the z decode
+    ydec = kit.y_stream_decoder(y_strings, ctx_slices)
+    zh, zw = shape_hw
+    z_sym = kit.decode_z(z_strings, zh, zw, z_key)
+    med = driver.eb_medians(v)
+    z_hat = _dq_sym(z_sym, med)
+    state = driver.ctx_prepare(v, z_hat)
+    slices, _, _ = _device_charm_loop(
+        driver, v, state, ctx_slices, support_fn, ydec=ydec
+    )
+    return driver.assemble(v, slices)
+
+
+def _make_kit(codec, wire: str):
+    """Attach a DeviceWireKit when ``wire='device'``; the host wire needs
+    none. The device wire is this framework's TPU-native format (NOT
+    reference-interoperable — see device_codec.py docstring)."""
+    if wire not in ("host", "device"):
+        raise ValueError(f"wire must be 'host' or 'device', got {wire!r}")
+    codec.wire = wire
+    if wire == "device":
+        from .device_codec import DeviceWireKit
+
+        codec.kit = DeviceWireKit(codec.tables)
+
+
 class CRCCodec:
     """compress/decompress for ``ConditionalResidualCoding`` (stf9/stf11)."""
 
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
-                 narrow: float = 1.0):
+                 narrow: float = 1.0,
+                 wire: str = "host"):
         self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
         self._scale_table_dev = jnp.asarray(self.tables.scale_table)
+        _make_kit(self, wire)
         mdl = model
 
         # --- machine layer stages (delegating into model.machine.coder) ---
@@ -165,38 +252,60 @@ class CRCCodec:
         B = x.shape[0]
         zh, zw = z.shape[1], z.shape[2]
 
-        z_sym = np.asarray(jax.device_get(
-            enc_round(z - self._machine.eb_medians(v), self.narrow)
-            .astype(jnp.int32)
-        ))
-        z_strings = self._code_z(z_sym, "entropy_bottleneck")
-        z_hat = jnp.asarray(z_sym, jnp.float32) + self._machine.eb_medians(v)
+        if self.wire == "device":
+            y_strings, z_strings, y_hat, _ = _device_encode_layer(
+                self, self._machine, v, y, "entropy_bottleneck",
+                self.model.num_slices * 4, self._support, z=z,
+            )
+        else:
+            z_sym = np.asarray(jax.device_get(
+                enc_round(z - self._machine.eb_medians(v), self.narrow)
+                .astype(jnp.int32)
+            ))
+            z_strings = self._code_z(z_sym, "entropy_bottleneck")
+            z_hat = (
+                jnp.asarray(z_sym, jnp.float32) + self._machine.eb_medians(v)
+            )
 
-        state = self._machine.ctx_prepare(v, z_hat)
-        y_slices = self._machine.latent_slices(v, y)
-        slices, sym_list, idx_list = self._machine_decode_loop(
-            v, state, decoder=None, y_slices=y_slices
-        )
-        gt = self.tables.gaussian
-        y_strings = coding.encode_batch(
-            np.concatenate(sym_list, axis=1),
-            np.concatenate(idx_list, axis=1),
-            gt.quantized_cdf, gt.cdf_length, gt.offset,
-        )
-        y_hat = self._machine.assemble(v, slices)
+            state = self._machine.ctx_prepare(v, z_hat)
+            y_slices = self._machine.latent_slices(v, y)
+            slices, sym_list, idx_list = self._machine_decode_loop(
+                v, state, decoder=None, y_slices=y_slices
+            )
+            gt = self.tables.gaussian
+            y_strings = coding.encode_batch(
+                np.concatenate(sym_list, axis=1),
+                np.concatenate(idx_list, axis=1),
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            )
+            y_hat = self._machine.assemble(v, slices)
 
-        # human layer
+        # human layer (one-shot hyperprior; reference stf9.py:1132-1160)
         human_y, human_z = self._human_encode_prep(v, x, y_hat)
-        hz_sym = np.asarray(jax.device_get(self._human_z_symbols(v, human_z)))
-        hz_strings = self._code_z(hz_sym, "entropy_bottleneck_human")
-        hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
-        means, scales, index = self._human_hyper_synth(v, hz_hat)
-        hy_sym = np.asarray(jax.device_get(self._human_y_symbols(v, human_y, means)))
-        hy_idx = np.asarray(jax.device_get(index))
-        hy_strings = coding.encode_batch(
-            hy_sym.reshape(B, -1), hy_idx.reshape(B, -1),
-            gt.quantized_cdf, gt.cdf_length, gt.offset,
-        )
+        if self.wire == "device":
+            hz_sym_dev = self._human_z_symbols(v, human_z)
+            hz_strings = self.kit.encode_z(
+                hz_sym_dev, "entropy_bottleneck_human"
+            )
+            hz_hat = self._human_z_dequant(v, hz_sym_dev)
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            hy_sym_dev = self._human_y_symbols(v, human_y, means)
+            hy_strings = self.kit.encode_gaussian(hy_sym_dev, index)
+        else:
+            gt = self.tables.gaussian
+            hz_sym = np.asarray(
+                jax.device_get(self._human_z_symbols(v, human_z))
+            )
+            hz_strings = self._code_z(hz_sym, "entropy_bottleneck_human")
+            hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            hy_sym_dev = self._human_y_symbols(v, human_y, means)
+            hy_sym = np.asarray(jax.device_get(hy_sym_dev))
+            hy_idx = np.asarray(jax.device_get(index))
+            hy_strings = coding.encode_batch(
+                hy_sym.reshape(B, -1), hy_idx.reshape(B, -1),
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            )
 
         out = {
             "strings": [y_strings, z_strings, hy_strings, hz_strings],
@@ -205,9 +314,7 @@ class CRCCodec:
         }
         if return_debug:
             out["y_hat"] = y_hat
-            out["x_hat"] = self._human_decode(
-                v, jnp.asarray(hy_sym), means, y_hat
-            )
+            out["x_hat"] = self._human_decode(v, hy_sym_dev, means, y_hat)
         return out
 
     def decompress(
@@ -225,24 +332,42 @@ class CRCCodec:
     def _decompress_group(self, strings, shape, human_shape) -> Dict[str, Any]:
         v = self.variables
         y_strings, z_strings, hy_strings, hz_strings = strings
-        z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
-        z_hat = jnp.asarray(z_sym, jnp.float32) + self._machine.eb_medians(v)
-        state = self._machine.ctx_prepare(v, z_hat)
-        decoder = coding.BatchRansDecoder(y_strings)
-        slices, _, _ = self._machine_decode_loop(v, state, decoder=decoder)
-        y_hat = self._machine.assemble(v, slices)
+        if self.wire == "device":
+            y_hat = _device_decode_layer(
+                self, self._machine, v, y_strings, z_strings, shape,
+                "entropy_bottleneck", self.model.num_slices * 4,
+                self._support,
+            )
+            hz_sym = self.kit.decode_z(
+                hz_strings, human_shape[0], human_shape[1],
+                "entropy_bottleneck_human",
+            )
+            hz_hat = self._human_z_dequant(v, hz_sym)
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            hy_sym = self.kit.decode_gaussian(hy_strings, index)
+        else:
+            z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
+            z_hat = (
+                jnp.asarray(z_sym, jnp.float32) + self._machine.eb_medians(v)
+            )
+            state = self._machine.ctx_prepare(v, z_hat)
+            decoder = coding.BatchRansDecoder(y_strings)
+            slices, _, _ = self._machine_decode_loop(v, state, decoder=decoder)
+            y_hat = self._machine.assemble(v, slices)
 
-        hz_sym = self._decode_z(hz_strings, human_shape, "entropy_bottleneck_human")
-        hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
-        means, scales, index = self._human_hyper_synth(v, hz_hat)
-        gt = self.tables.gaussian
-        idx_np = np.asarray(jax.device_get(index))
-        B = len(hy_strings)
-        hy_sym = coding.decode_batch(
-            hy_strings, idx_np.reshape(B, -1),
-            gt.quantized_cdf, gt.cdf_length, gt.offset,
-        ).reshape(idx_np.shape)
-        x_hat = self._human_decode(v, jnp.asarray(hy_sym), means, y_hat)
+            hz_sym = self._decode_z(
+                hz_strings, human_shape, "entropy_bottleneck_human"
+            )
+            hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            gt = self.tables.gaussian
+            idx_np = np.asarray(jax.device_get(index))
+            B = len(hy_strings)
+            hy_sym = jnp.asarray(coding.decode_batch(
+                hy_strings, idx_np.reshape(B, -1),
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            ).reshape(idx_np.shape))
+        x_hat = self._human_decode(v, hy_sym, means, y_hat)
         return {"x_hat": jnp.clip(x_hat, 0.0, 1.0), "y_hat": y_hat}
 
 

@@ -99,39 +99,35 @@ def _pad_to(a: np.ndarray, n: int, fill) -> np.ndarray:
     return out
 
 
-class DeviceWireCodec(CharmCodec):
-    """ChARM codec with on-device entropy coding.
+class DeviceWireKit:
+    """Reusable on-device entropy-coding stage bundle.
 
-    ``lanes_per_image``: independent rANS streams per image for the y
-    latent (more lanes = wider decode vectorization but +4 B/lane flush
-    overhead; the per-slice serial depth is ``h*w/lanes * C_slice``).
-    z lanes split both hyper-pixels and channel groups.
+    Owns the jitted lane-layout/encode/decode programs over one Gaussian
+    scale-table and any number of named EntropyBottleneck tables, plus the
+    host-side wire assembly. ``DeviceWireCodec`` (ChARM protocol) and the
+    device-wire modes of the CRC/czigzag codecs all drive their entropy
+    coding through one kit, so the wire format and its measured gather
+    economics (see coding/device_rans.py) are defined in exactly one
+    place.
+
+    ``lanes_per_image``: independent rANS streams per image for Gaussian-
+    coded tensors; ``z_lane_groups``: channel groups for bottleneck-coded
+    tensors (lane = pixel x group, serial depth C/groups).
     """
 
     def __init__(
         self,
-        *args,
+        tables,
         lanes_per_image: int = 1024,
         z_lane_groups: int = 8,
-        **kwargs,
     ):
-        super().__init__(*args, **kwargs)
-        if self.ref_layout:
-            raise ValueError(
-                "DeviceWireCodec defines its own wire; ref_layout applies "
-                "to the host coder only"
-            )
-        self._wants_packed = False  # the packed HOST wire is never fetched
         self.lanes_per_image = lanes_per_image
-        # z symbols are fully independent (factorized prior), so lanes can
-        # split the channel axis too: z lanes = pixels x channel groups,
-        # serial depth C/groups instead of C (the z scan was 192 steps at
-        # only B*zh*zw lanes — a measured decode hot spot at 512px)
         self.z_lane_groups = z_lane_groups
-        self._gauss_dev = build_device_tables(self.tables.gaussian)
-        self._eb_dev = build_device_tables(self._z_tables())
-
-        gdev, edev = self._gauss_dev, self._eb_dev
+        self.gauss_dev = build_device_tables(tables.gaussian)
+        self.eb_dev = {
+            k: build_device_tables(t) for k, t in tables.bottlenecks.items()
+        }
+        gdev = self.gauss_dev
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def to_lanes(a, n_l):
@@ -153,7 +149,17 @@ class DeviceWireCodec(CharmCodec):
         def encode_y(vals_T, rows_T):
             return encode_lanes(vals_T, rows_T, gdev)
 
-        def _z_rows(G, n_px):
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def decode_y_slice(words, off, index_u8, n_l, state, ptr, dest, raw):
+            B, h, w, C = index_u8.shape
+            rows = to_lanes(index_u8.astype(jnp.int32), n_l)
+            vals, state, ptr = decode_lanes(
+                words, off, rows, gdev, state=state, ptr=ptr
+            )
+            vals = fix_escapes(vals, dest, raw)
+            return from_lanes(vals, B, h, w, C), state, ptr
+
+        def _z_rows(edev, G, n_px):
             """(C/G, n_px*G) row map: lane (px, g) decodes channels
             g*C/G .. (g+1)*C/G-1 in order."""
             C = edev.num_rows
@@ -166,58 +172,62 @@ class DeviceWireCodec(CharmCodec):
                 C // G, n_px * G
             )
 
-        @jax.jit
-        def encode_z(z_sym):
-            B, zh, zw, C = z_sym.shape
-            G = self._z_groups()
-            # lane = (pixel, group); step = channel within group
-            v = z_sym.reshape(B * zh * zw, G, C // G).transpose(2, 0, 1)
-            vals = v.reshape(C // G, B * zh * zw * G)
-            return encode_lanes(vals, _z_rows(G, B * zh * zw), edev)
+        self._encode_z_fns = {}
+        self._decode_z_fns = {}
+        for key, edev in self.eb_dev.items():
 
-        @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-        def decode_z(words, off, B, zh, zw, dest, raw):
-            C = edev.num_rows
-            G = self._z_groups()
-            vals, _, _ = decode_lanes(
-                words, off, _z_rows(G, B * zh * zw), edev
-            )
-            vals = fix_escapes(vals, dest, raw)
-            v = vals.reshape(C // G, B * zh * zw, G).transpose(1, 2, 0)
-            return v.reshape(B, zh, zw, C)
+            def make(edev):
+                @jax.jit
+                def encode_z(z_sym):
+                    B, zh, zw, C = z_sym.shape
+                    G = self._groups(edev)
+                    v = z_sym.reshape(B * zh * zw, G, C // G).transpose(
+                        2, 0, 1
+                    )
+                    vals = v.reshape(C // G, B * zh * zw * G)
+                    return encode_lanes(
+                        vals, _z_rows(edev, G, B * zh * zw), edev
+                    )
 
-        @functools.partial(jax.jit, static_argnums=(3,))
-        def decode_y_slice(words, off, index_u8, n_l, state, ptr, dest, raw):
-            B, h, w, C = index_u8.shape
-            rows = to_lanes(index_u8.astype(jnp.int32), n_l)
-            vals, state, ptr = decode_lanes(
-                words, off, rows, gdev, state=state, ptr=ptr
-            )
-            vals = fix_escapes(vals, dest, raw)
-            return from_lanes(vals, B, h, w, C), state, ptr
+                @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+                def decode_z(words, off, B, zh, zw, dest, raw):
+                    C = edev.num_rows
+                    G = self._groups(edev)
+                    vals, _, _ = decode_lanes(
+                        words, off, _z_rows(edev, G, B * zh * zw), edev
+                    )
+                    vals = fix_escapes(vals, dest, raw)
+                    v = vals.reshape(C // G, B * zh * zw, G).transpose(
+                        1, 2, 0
+                    )
+                    return v.reshape(B, zh, zw, C)
 
-        self._to_lanes = to_lanes
+                return encode_z, decode_z
+
+            self._encode_z_fns[key], self._decode_z_fns[key] = make(edev)
+
+        self.to_lanes = to_lanes
+        self.from_lanes = from_lanes
         self._encode_y = encode_y
-        self._encode_z = encode_z
-        self._decode_z_dev = decode_z
         self._decode_y_slice = decode_y_slice
 
-    def _n_lanes(self, h: int, w: int) -> int:
+    # --- layout ---------------------------------------------------------
+    def n_lanes(self, h: int, w: int) -> int:
         n_l = min(self.lanes_per_image, h * w)
         while (h * w) % n_l:
             n_l -= 1
         return n_l
 
-    def _z_groups(self) -> int:
-        C = self._eb_dev.num_rows
+    def _groups(self, edev) -> int:
+        C = edev.num_rows
         G = min(self.z_lane_groups, C)
         while C % G:
             G -= 1
         return G
 
-    # --- compress ----------------------------------------------------------
+    # --- encode side ------------------------------------------------------
     @staticmethod
-    def _fetch_encoded(enc_out, B: int):
+    def fetch_encoded(enc_out, B: int):
         """(buf, lengths, dest, raw, n_esc) from encode_lanes -> per-image
         (lengths, decode-order words, image-local dest, raw) host arrays.
 
@@ -233,9 +243,7 @@ class DeviceWireCodec(CharmCodec):
         ne = int(n_esc_h)
         # uint16 on the wire: words are 16-bit; halves the bulk fetch
         buf_h = np.asarray(
-            jax.device_get(
-                buf[:, : int(len_h.max())].astype(jnp.uint16)
-            )
+            jax.device_get(buf[:, : int(len_h.max())].astype(jnp.uint16))
         )
         if ne:
             dest_h, raw_h = map(
@@ -265,43 +273,35 @@ class DeviceWireCodec(CharmCodec):
             )
         return out
 
-    def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
-        pend = self._compress_dispatch(x)
-        v = self.variables
-        B = x.shape[0]
-        sym32s, idxs = pend["sym32s"], pend["idxs"]
-        _, h, w, _ = sym32s[0].shape
-        n_l = self._n_lanes(h, w)
-
+    def encode_y_slices(self, sym32s, idxs) -> List[bytes]:
+        """Gaussian-coded AR tensor: per-slice (B, h, w, sc) int32 symbols
+        + uint8 scale indexes, concatenated step-major in slice order, one
+        device encode, one wire blob per image."""
+        B, h, w, _ = sym32s[0].shape
+        n_l = self.n_lanes(h, w)
         vals_T = jnp.concatenate(
-            [self._to_lanes(s, n_l) for s in sym32s], axis=0
+            [self.to_lanes(s, n_l) for s in sym32s], axis=0
         )
         rows_T = jnp.concatenate(
-            [self._to_lanes(i.astype(jnp.int32), n_l) for i in idxs], axis=0
+            [self.to_lanes(i.astype(jnp.int32), n_l) for i in idxs], axis=0
         )
-        y_enc = self._encode_y(vals_T, rows_T)
-        z_enc = self._encode_z(pend["z_sym"])
+        enc = self._encode_y(vals_T, rows_T)
+        return [_pack_wire(*p) for p in self.fetch_encoded(enc, B)]
 
-        y_strings = [
-            _pack_wire(*parts) for parts in self._fetch_encoded(y_enc, B)
-        ]
-        z_strings = [
-            _pack_wire(*parts) for parts in self._fetch_encoded(z_enc, B)
-        ]
+    def encode_z(self, z_sym, key: str) -> List[bytes]:
+        """Bottleneck-coded tensor (device int32 (B, zh, zw, C))."""
+        enc = self._encode_z_fns[key](z_sym)
+        return [_pack_wire(*p) for p in self.fetch_encoded(enc, z_sym.shape[0])]
 
-        out = {"strings": [y_strings, z_strings], "shape": pend["shape"]}
-        if return_debug:
-            y_hat, x_hat = self._step_assemble(
-                v, self.model.ctx_slices - 1, pend["y_hat_slices"],
-                *pend["last_args"],
-            )
-            out["y_hat"] = y_hat
-            out["z_hat"] = pend["z_hat"]
-        return out
+    def encode_gaussian(self, sym, index) -> List[bytes]:
+        """One-shot Gaussian-coded tensor: (B, h, w, C) int32 symbols +
+        same-shape scale indexes (any int dtype), one wire per image.
+        Decode side: :meth:`decode_gaussian`."""
+        return self.encode_y_slices([sym], [index])
 
-    # --- decompress ---------------------------------------------------------
+    # --- decode side ------------------------------------------------------
     @staticmethod
-    def _upload_words(blobs: List[bytes]):
+    def upload_words(blobs: List[bytes]):
         """Concatenate per-image wires into one flat padded word array +
         per-lane offsets + merged global escape arrays (host numpy).
         Bucketed padding: only the integer decode programs see the words
@@ -333,7 +333,7 @@ class DeviceWireCodec(CharmCodec):
         return dev_words, dev_off, dest[order], raw[order]
 
     @staticmethod
-    def _esc_segment(dest, raw, lo: int, hi: int, cap: int | None = None):
+    def esc_segment(dest, raw, lo: int, hi: int, cap: int | None = None):
         """Escapes with global flat position in [lo, hi) -> device arrays
         rebased to the segment grid, padded to a bucket (drop-scatter
         ignores the padding).
@@ -355,7 +355,7 @@ class DeviceWireCodec(CharmCodec):
         )
 
     @staticmethod
-    def _esc_cap(dest, n_segs: int, seg_size: int) -> int:
+    def esc_cap(dest, n_segs: int, seg_size: int) -> int:
         """One shared pad size: the largest per-segment escape count of
         this wire, bucketed to a power of two."""
         if dest.shape[0] == 0:
@@ -366,46 +366,148 @@ class DeviceWireCodec(CharmCodec):
         n = int(counts.max())
         return max(64, 1 << max(n - 1, 1).bit_length())
 
+    def decode_z(self, blobs: List[bytes], zh: int, zw: int, key: str):
+        """-> device int32 symbols (B, zh, zw, C)."""
+        words, off, dest, raw = self.upload_words(blobs)
+        edev = self.eb_dev[key]
+        B = len(blobs)
+        G = self._groups(edev)
+        n_lz = B * zh * zw * G
+        Tz = edev.num_rows // G
+        zd, zr = self.esc_segment(
+            dest, raw, 0, Tz * n_lz, cap=self.esc_cap(dest, 1, Tz * n_lz)
+        )
+        return self._decode_z_fns[key](
+            words.astype(jnp.int32), off, B, zh, zw, zd, zr
+        )
+
+    def decode_gaussian(self, blobs: List[bytes], index_u8):
+        """One-shot Gaussian-coded tensor: index (B, h, w, C) device
+        uint8 -> device int32 symbols of the same shape."""
+        words, off, dest, raw = self.upload_words(blobs)
+        B, h, w, C = index_u8.shape
+        n_l = self.n_lanes(h, w)
+        total = ((h * w) // n_l) * C * B * n_l
+        d, r = self.esc_segment(
+            dest, raw, 0, total, cap=self.esc_cap(dest, 1, total)
+        )
+        sym, _, _ = self._decode_y_slice(
+            words.astype(jnp.int32), off, index_u8, n_l, None, None, d, r
+        )
+        return sym
+
+    def y_stream_decoder(self, blobs: List[bytes], n_slices: int):
+        """Stateful per-wire chain decoder for slice-AR tensors (symbols
+        were encoded with :meth:`encode_y_slices`)."""
+        return _YStreamDecoder(self, blobs, n_slices)
+
+
+class _YStreamDecoder:
+    """Carries the lane decode state across the AR slice chain: every
+    ``decode_slice`` is ONE async device dispatch (no round-trips)."""
+
+    def __init__(self, kit: DeviceWireKit, blobs: List[bytes], n_slices: int):
+        self.kit = kit
+        self.n_slices = n_slices
+        self.B = len(blobs)
+        words, off, self.dest, self.raw = kit.upload_words(blobs)
+        self.words32 = words.astype(jnp.int32)
+        self.off = off
+        self.state = self.ptr = None
+        self.i = 0
+        self._n_l = self._cap = self._Ts = self._L = None
+
+    def decode_slice(self, index_u8):
+        kit = self.kit
+        if self._n_l is None:
+            _, h, w, C = index_u8.shape
+            self._n_l = kit.n_lanes(h, w)
+            self._L = self.B * self._n_l
+            self._Ts = ((h * w) // self._n_l) * C
+            self._cap = kit.esc_cap(
+                self.dest, self.n_slices, self._Ts * self._L
+            )
+        lo = self.i * self._Ts * self._L
+        d, r = kit.esc_segment(
+            self.dest, self.raw, lo, lo + self._Ts * self._L, cap=self._cap
+        )
+        sym, self.state, self.ptr = kit._decode_y_slice(
+            self.words32, self.off, index_u8, self._n_l,
+            self.state, self.ptr, d, r,
+        )
+        self.i += 1
+        return sym
+
+
+class DeviceWireCodec(CharmCodec):
+    """ChARM codec with on-device entropy coding.
+
+    ``lanes_per_image``: independent rANS streams per image for the y
+    latent (more lanes = wider decode vectorization but +4 B/lane flush
+    overhead; the per-slice serial depth is ``h*w/lanes * C_slice``).
+    z lanes split both hyper-pixels and channel groups.
+    """
+
+    def __init__(
+        self,
+        *args,
+        lanes_per_image: int = 1024,
+        z_lane_groups: int = 8,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        if self.ref_layout:
+            raise ValueError(
+                "DeviceWireCodec defines its own wire; ref_layout applies "
+                "to the host coder only"
+            )
+        self._wants_packed = False  # the packed HOST wire is never fetched
+        self.lanes_per_image = lanes_per_image
+        # z symbols are fully independent (factorized prior), so lanes can
+        # split the channel axis too: z lanes = pixels x channel groups,
+        # serial depth C/groups instead of C (the z scan was 192 steps at
+        # only B*zh*zw lanes — a measured decode hot spot at 512px)
+        self.z_lane_groups = z_lane_groups
+        self.kit = DeviceWireKit(
+            self.tables,
+            lanes_per_image=lanes_per_image,
+            z_lane_groups=z_lane_groups,
+        )
+
+    def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
+        pend = self._compress_dispatch(x)
+        v = self.variables
+        B = x.shape[0]
+        y_strings = self.kit.encode_y_slices(pend["sym32s"], pend["idxs"])
+        z_strings = self.kit.encode_z(pend["z_sym"], "entropy_bottleneck")
+
+        out = {"strings": [y_strings, z_strings], "shape": pend["shape"]}
+        if return_debug:
+            y_hat, x_hat = self._step_assemble(
+                v, self.model.ctx_slices - 1, pend["y_hat_slices"],
+                *pend["last_args"],
+            )
+            out["y_hat"] = y_hat
+            out["z_hat"] = pend["z_hat"]
+        return out
+
+    # --- decompress ---------------------------------------------------------
     def _decompress_group(self, y_strings, z_strings, shape) -> Dict[str, Any]:
         v = self.variables
         zh, zw = shape
-        B = len(y_strings)
+        S = self.model.ctx_slices
 
         # enqueue the (big) y upload first: it rides the transfer engine
         # while the z decode and context-prepare programs run
-        ywords, yoff, ydest, yraw = self._upload_words(y_strings)
-        zwords, zoff, zdest, zraw = self._upload_words(z_strings)
-
-        G = self._z_groups()
-        n_lz = B * zh * zw * G
-        Tz = self._eb_dev.num_rows // G
-        zd, zr = self._esc_segment(
-            zdest, zraw, 0, Tz * n_lz, cap=self._esc_cap(zdest, 1, Tz * n_lz)
-        )
-        z_sym = self._decode_z_dev(
-            zwords.astype(jnp.int32), zoff, B, zh, zw, zd, zr
-        )
+        ydec = self.kit.y_stream_decoder(y_strings, S)
+        z_sym = self.kit.decode_z(z_strings, zh, zw, "entropy_bottleneck")
         z_hat = self._z_dequant(v, z_sym)
         state = self._ctx_prepare(v, z_hat)
 
-        ywords32 = ywords.astype(jnp.int32)
         y_hat_slices: List[jax.Array] = []
         mu, _, index, mean_support = self._slice_context(v, 0, state, [])
-        S = self.model.ctx_slices
-        rstate = rptr = None
-        n_l = cap = None
         for i in range(S):
-            if n_l is None:
-                n_l = self._n_lanes(index.shape[1], index.shape[2])
-                L = B * n_l
-                Ts = (index.shape[1] * index.shape[2] // n_l) * index.shape[3]
-                cap = self._esc_cap(ydest, S, Ts * L)
-            yd, yr = self._esc_segment(
-                ydest, yraw, i * Ts * L, (i + 1) * Ts * L, cap=cap
-            )
-            sym, rstate, rptr = self._decode_y_slice(
-                ywords32, yoff, index, n_l, rstate, rptr, yd, yr
-            )
+            sym = ydec.decode_slice(index)
             if i + 1 < S:
                 out = self._step(
                     v, i, state, y_hat_slices, sym, mu, mean_support

@@ -122,6 +122,37 @@ def test_crc3_codec_roundtrip():
     )
 
 
+def test_crc_codec_device_wire_roundtrip():
+    """stf9 over the on-device entropy wire (DeviceWireKit): bitexact
+    y_hat roundtrip, and the reconstruction matches the host wire (the
+    wires differ only in entropy-coding transport, never in float math)."""
+    from icm_tpu.models.crc_codec import CRCCodec
+
+    model = create_model("stf9", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    dev = CRCCodec(model, variables, wire="device")
+    enc = dev.compress(x, return_debug=True)
+    assert len(enc["strings"]) == 4 and len(enc["strings"][0]) == 2
+    dec = dev.decompress(enc["strings"], enc["shape"], enc["human_shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["x_hat"]),
+        np.clip(np.asarray(enc["x_hat"]), 0, 1),
+    )
+
+    host = CRCCodec(model, variables, tables=dev.tables)
+    henc = host.compress(x)
+    hdec = host.decompress(henc["strings"], henc["shape"], henc["human_shape"])
+    np.testing.assert_allclose(
+        np.asarray(dec["x_hat"]), np.asarray(hdec["x_hat"]), atol=1e-6
+    )
+
+
 def test_crc_codec_pipelined_roundtrip():
     """Symmetric stream-group pipelining (threaded groups) on the layered
     coder: bitexact y_hat vs the encoder within the pipelined config."""
