@@ -519,13 +519,15 @@ class SegOjCodec:
 
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
-                 narrow: float = 1.0):
+                 narrow: float = 1.0,
+                 wire: str = "host"):
         from .base import sliding_support
 
         self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
+        _make_kit(self, wire)
         st = jnp.asarray(self.tables.scale_table)
         self.machine = _CharmLayerDriver(
             model, st, lambda m: m.coder, "machine", narrow=narrow
@@ -583,6 +585,11 @@ class SegOjCodec:
         return sym.reshape(B, h, w, C)
 
     def _encode_layer(self, driver, v, y, z_key):
+        if self.wire == "device":
+            return _device_encode_layer(
+                self, driver, v, y, z_key, self.model.num_slices * 4,
+                self._support,
+            )
         z = driver.h_a(v, y)
         med = driver.eb_medians(v)
         z_sym = np.asarray(
@@ -605,6 +612,11 @@ class SegOjCodec:
         return y_strings, z_strings, driver.assemble(v, slices), z.shape[1:3]
 
     def _decode_layer(self, driver, v, y_strings, z_strings, shape_hw, z_key):
+        if self.wire == "device":
+            return _device_decode_layer(
+                self, driver, v, y_strings, z_strings, shape_hw, z_key,
+                self.model.num_slices * 4, self._support,
+            )
         z_sym = self._decode_z(z_strings, shape_hw, z_key)
         med = driver.eb_medians(v)
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
@@ -688,13 +700,15 @@ class CRC3Codec:
 
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
-                 narrow: float = 1.0):
+                 narrow: float = 1.0,
+                 wire: str = "host"):
         from .base import sliding_support
 
         self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
+        _make_kit(self, wire)
         st = jnp.asarray(self.tables.scale_table)
         self.machine = _CharmLayerDriver(
             model, st, lambda m: m.machine.coder, "machine", narrow=narrow
@@ -779,26 +793,33 @@ class CRC3Codec:
         )
         human_y, human_z = self._human_encode(v, x, y_hat, seg_y_hat)
         med = self._human_eb_medians(v)
-        hz_sym = np.asarray(
-            jax.device_get(
-                enc_round(human_z - med, self.narrow).astype(jnp.int32)
+        if self.wire == "device":
+            hz_sym_dev = _q_sym(human_z, med, self.narrow)
+            hz_s = self.kit.encode_z(hz_sym_dev, "entropy_bottleneck_human")
+            hz_hat = _dq_sym(hz_sym_dev, med)
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            hy_sym_dev = _q_sym(human_y, means, self.narrow)
+            hy_s = self.kit.encode_gaussian(hy_sym_dev, index)
+        else:
+            hz_sym = np.asarray(
+                jax.device_get(
+                    enc_round(human_z - med, self.narrow).astype(jnp.int32)
+                )
             )
-        )
-        hz_s = self._code_z(hz_sym, "entropy_bottleneck_human")
-        hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
-        means, scales, index = self._human_hyper_synth(v, hz_hat)
-        hy_sym = np.asarray(
-            jax.device_get(
-                enc_round(human_y - means, self.narrow).astype(jnp.int32)
+            hz_s = self._code_z(hz_sym, "entropy_bottleneck_human")
+            hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            hy_sym_dev = enc_round(human_y - means, self.narrow).astype(
+                jnp.int32
             )
-        )
-        gt = self.tables.gaussian
-        B = x.shape[0]
-        hy_s = coding.encode_batch(
-            hy_sym.reshape(B, -1),
-            np.asarray(jax.device_get(index)).reshape(B, -1),
-            gt.quantized_cdf, gt.cdf_length, gt.offset,
-        )
+            hy_sym = np.asarray(jax.device_get(hy_sym_dev))
+            gt = self.tables.gaussian
+            B = x.shape[0]
+            hy_s = coding.encode_batch(
+                hy_sym.reshape(B, -1),
+                np.asarray(jax.device_get(index)).reshape(B, -1),
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            )
         out = {
             "strings": [y_s, z_s, sy_s, sz_s, hy_s, hz_s],
             "shape": tuple(int(d) for d in m_shape),
@@ -809,7 +830,7 @@ class CRC3Codec:
             out["y_hat"] = y_hat
             out["seg_y_hat"] = seg_y_hat
             out["x_hat"] = self._human_synth(
-                v, jnp.asarray(hy_sym), means, y_hat, seg_y_hat
+                v, hy_sym_dev, means, y_hat, seg_y_hat
             )
         return out
 
@@ -836,20 +857,29 @@ class CRC3Codec:
         seg_y_hat = self._decode_layer(
             self.seg, v, sy_s, sz_s, seg_shape, "entropy_bottleneck_seg"
         )
-        hz_sym = self._decode_z(hz_s, human_shape, "entropy_bottleneck_human")
         med = self._human_eb_medians(v)
-        hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
-        means, scales, index = self._human_hyper_synth(v, hz_hat)
-        gt = self.tables.gaussian
-        idx_np = np.asarray(jax.device_get(index))
-        B = len(hy_s)
-        hy_sym = coding.decode_batch(
-            hy_s, idx_np.reshape(B, -1),
-            gt.quantized_cdf, gt.cdf_length, gt.offset,
-        ).reshape(idx_np.shape)
-        x_hat = self._human_synth(
-            v, jnp.asarray(hy_sym), means, y_hat, seg_y_hat
-        )
+        if self.wire == "device":
+            hz_sym = self.kit.decode_z(
+                hz_s, human_shape[0], human_shape[1],
+                "entropy_bottleneck_human",
+            )
+            hz_hat = _dq_sym(hz_sym, med)
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            hy_sym = self.kit.decode_gaussian(hy_s, index)
+        else:
+            hz_sym = self._decode_z(
+                hz_s, human_shape, "entropy_bottleneck_human"
+            )
+            hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            gt = self.tables.gaussian
+            idx_np = np.asarray(jax.device_get(index))
+            B = len(hy_s)
+            hy_sym = jnp.asarray(coding.decode_batch(
+                hy_s, idx_np.reshape(B, -1),
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            ).reshape(idx_np.shape))
+        x_hat = self._human_synth(v, hy_sym, means, y_hat, seg_y_hat)
         return {
             "x_hat": jnp.clip(x_hat, 0.0, 1.0),
             "y_hat": y_hat,
@@ -866,7 +896,8 @@ class CzigzagCodec:
 
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
-                 narrow: float = 1.0):
+                 narrow: float = 1.0,
+                 wire: str = "host"):
         import functools
 
         from .base import sliding_support
@@ -875,6 +906,7 @@ class CzigzagCodec:
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
+        _make_kit(self, wire)
         st = jnp.asarray(self.tables.scale_table)
         self._support = sliding_support(model.max_support)
         mdl = model
@@ -967,6 +999,24 @@ class CzigzagCodec:
             slices.append(y_hat)
         return slices, sym_list, idx_list
 
+    def _loop_device(self, v, state, ydec=None, y_slices=None):
+        """The AR loop against the device wire: symbols never touch the
+        host (encode buffers them for one batched device encode; decode
+        pulls each slice from the stateful stream decoder)."""
+        sym32s, idxs, slices = [], [], []
+        for i in range(self.model.ctx_slices):
+            support = self._support(i, slices)
+            mu, scale, index, ms = self._slice_context(v, i, state, support)
+            if ydec is None:
+                sym, y_hat = self._slice_code(v, i, y_slices[i], mu, ms, True)
+            else:
+                sym = ydec.decode_slice(index)
+                _, y_hat = self._slice_code(v, i, sym, mu, ms, False)
+            sym32s.append(sym)
+            idxs.append(index)
+            slices.append(y_hat)
+        return slices, sym32s, idxs
+
     def compress(
         self, x, up_x4, return_debug: bool = False, pipeline_groups: int = 1
     ):
@@ -987,22 +1037,35 @@ class CzigzagCodec:
         y = self._analyze(v, x, ctx_list)
         z = self._hyper_encode(v, y, hctx, hctx2)
         med = self._eb_medians(v)
-        z_sym = np.asarray(
-            jax.device_get(enc_round(z - med, self.narrow).astype(jnp.int32))
-        )
-        z_strings = self._code_z(z_sym, "entropy_bottleneck")
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
-        state = self._ctx_prepare(v, z_hat, hctx, hctx2)
-        y_slices = self._latent_slices(v, y)
-        slices, sym_list, idx_list = self._loop(
-            v, state, decoder=None, y_slices=y_slices
-        )
-        gt = self.tables.gaussian
-        y_strings = coding.encode_batch(
-            np.concatenate(sym_list, axis=1),
-            np.concatenate(idx_list, axis=1),
-            gt.quantized_cdf, gt.cdf_length, gt.offset,
-        )
+        if self.wire == "device":
+            z_sym_dev = _q_sym(z, med, self.narrow)
+            z_strings = self.kit.encode_z(z_sym_dev, "entropy_bottleneck")
+            z_hat = _dq_sym(z_sym_dev, med)
+            state = self._ctx_prepare(v, z_hat, hctx, hctx2)
+            y_slices = self._latent_slices(v, y)
+            slices, sym32s, idxs = self._loop_device(
+                v, state, y_slices=y_slices
+            )
+            y_strings = self.kit.encode_y_slices(sym32s, idxs)
+        else:
+            z_sym = np.asarray(
+                jax.device_get(
+                    enc_round(z - med, self.narrow).astype(jnp.int32)
+                )
+            )
+            z_strings = self._code_z(z_sym, "entropy_bottleneck")
+            z_hat = jnp.asarray(z_sym, jnp.float32) + med
+            state = self._ctx_prepare(v, z_hat, hctx, hctx2)
+            y_slices = self._latent_slices(v, y)
+            slices, sym_list, idx_list = self._loop(
+                v, state, decoder=None, y_slices=y_slices
+            )
+            gt = self.tables.gaussian
+            y_strings = coding.encode_batch(
+                np.concatenate(sym_list, axis=1),
+                np.concatenate(idx_list, axis=1),
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            )
         out = {
             "strings": [y_strings, z_strings],
             "shape": (int(z.shape[1]), int(z.shape[2])),
@@ -1033,12 +1096,23 @@ class CzigzagCodec:
         v = self.variables
         y_strings, z_strings = strings
         _, hctx, hctx2, dec_ctx = self._pyramids(v, up_x4)
-        z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
         med = self._eb_medians(v)
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
-        state = self._ctx_prepare(v, z_hat, hctx, hctx2)
-        decoder = coding.BatchRansDecoder(y_strings)
-        slices, _, _ = self._loop(v, state, decoder=decoder)
+        if self.wire == "device":
+            ydec = self.kit.y_stream_decoder(
+                y_strings, self.model.ctx_slices
+            )
+            z_sym = self.kit.decode_z(
+                z_strings, shape[0], shape[1], "entropy_bottleneck"
+            )
+            z_hat = _dq_sym(z_sym, med)
+            state = self._ctx_prepare(v, z_hat, hctx, hctx2)
+            slices, _, _ = self._loop_device(v, state, ydec=ydec)
+        else:
+            z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
+            z_hat = jnp.asarray(z_sym, jnp.float32) + med
+            state = self._ctx_prepare(v, z_hat, hctx, hctx2)
+            decoder = coding.BatchRansDecoder(y_strings)
+            slices, _, _ = self._loop(v, state, decoder=decoder)
         y_hat, x_hat = self._assemble_synthesize(v, slices, dec_ctx)
         return {"x_hat": x_hat, "y_hat": y_hat}
 

@@ -153,6 +153,40 @@ def test_crc_codec_device_wire_roundtrip():
     )
 
 
+def test_crc3_codec_device_wire_roundtrip():
+    """stf13 three-layer coder over the on-device entropy wire: all three
+    layers (machine charm, seg charm, human one-shot) bitexact, and the
+    reconstruction matches the host wire."""
+    from icm_tpu.models.crc_codec import CRC3Codec
+
+    model = create_model("stf13", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    dev = CRC3Codec(model, variables, wire="device")
+    enc = dev.compress(x, return_debug=True)
+    assert len(enc["strings"]) == 6
+    dec = dev.decompress(
+        enc["strings"], enc["shape"], enc["seg_shape"], enc["human_shape"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["seg_y_hat"]), np.asarray(enc["seg_y_hat"])
+    )
+
+    host = CRC3Codec(model, variables, tables=dev.tables)
+    henc = host.compress(x)
+    hdec = host.decompress(
+        henc["strings"], henc["shape"], henc["seg_shape"], henc["human_shape"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec["x_hat"]), np.asarray(hdec["x_hat"]), atol=1e-6
+    )
+
+
 def test_crc_codec_pipelined_roundtrip():
     """Symmetric stream-group pipelining (threaded groups) on the layered
     coder: bitexact y_hat vs the encoder within the pipelined config."""

@@ -113,6 +113,35 @@ def test_czigzag_codec_roundtrip():
     assert dec["x_hat"].shape == x.shape
 
 
+def test_czigzag_codec_device_wire_roundtrip():
+    """czigzag over the on-device entropy wire: bitexact y_hat roundtrip
+    and reconstruction equal to the host wire."""
+    from icm_tpu.models.crc_codec import CzigzagCodec
+
+    m = create_model(
+        "czigzag",
+        embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+        window_size=4, patch_size=2, drop_path_rate=0.0,
+        num_slices=2, max_support=3, support_num=3,
+        hyper_depths=(1, 1), cc_widths=(24, 16),
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    up = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    v = _init(m, x, up)
+    dev = CzigzagCodec(m, v, wire="device")
+    enc = dev.compress(x, up, return_debug=True)
+    dec = dev.decompress(enc["strings"], enc["shape"], up)
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    host = CzigzagCodec(m, v, tables=dev.tables)
+    henc = host.compress(x, up)
+    hdec = host.decompress(henc["strings"], henc["shape"], up)
+    np.testing.assert_allclose(
+        np.asarray(dec["x_hat"]), np.asarray(hdec["x_hat"]), atol=1e-6
+    )
+
+
 def test_stf2_codec_roundtrip():
     from icm_tpu.models.crc_codec import Stf2Codec
 
