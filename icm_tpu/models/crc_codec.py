@@ -125,13 +125,25 @@ class CRCCodec:
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
                  narrow: float = 1.0,
-                 wire: str = "host"):
+                 wire: str = "host",
+                 scan_wire: bool = False):
         self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
         self._scale_table_dev = jnp.asarray(self.tables.scale_table)
         _make_kit(self, wire)
+        self.scan_wire = scan_wire
+        if scan_wire:
+            if wire != "device":
+                raise ValueError("scan_wire requires wire='device'")
+            from .scan_codec import ZigzagScanWire
+
+            self._scan = ZigzagScanWire(
+                model, variables, lambda m: m.machine.coder,
+                ("machine", "coder"), self.kit, self._scale_table_dev,
+                narrow=narrow,
+            )
         mdl = model
 
         # --- machine layer stages (delegating into model.machine.coder) ---
@@ -252,7 +264,16 @@ class CRCCodec:
         B = x.shape[0]
         zh, zw = z.shape[1], z.shape[2]
 
-        if self.wire == "device":
+        if self.wire == "device" and self.scan_wire:
+            med = self._machine.eb_medians(v)
+            z_sym_dev = _q_sym(z, med, self.narrow)
+            z_strings = self.kit.encode_z(z_sym_dev, "entropy_bottleneck")
+            z_hat = _dq_sym(z_sym_dev, med)
+            state = self._machine.ctx_prepare(v, z_hat)
+            y_slices = self._machine.latent_slices(v, y)
+            y_strings, y_hat_slices = self._scan.encode(state, y_slices)
+            y_hat = self._machine.assemble(v, y_hat_slices)
+        elif self.wire == "device":
             y_strings, z_strings, y_hat, _ = _device_encode_layer(
                 self, self._machine, v, y, "entropy_bottleneck",
                 self.model.num_slices * 4, self._support, z=z,
@@ -332,19 +353,22 @@ class CRCCodec:
     def _decompress_group(self, strings, shape, human_shape) -> Dict[str, Any]:
         v = self.variables
         y_strings, z_strings, hy_strings, hz_strings = strings
-        if self.wire == "device":
+        if self.wire == "device" and self.scan_wire:
+            z_sym = self.kit.decode_z(
+                z_strings, shape[0], shape[1], "entropy_bottleneck"
+            )
+            med = self._machine.eb_medians(v)
+            z_hat = _dq_sym(z_sym, med)
+            state = self._machine.ctx_prepare(v, z_hat)
+            y_hat = self._machine.assemble(
+                v, self._scan.decode(y_strings, state)
+            )
+        elif self.wire == "device":
             y_hat = _device_decode_layer(
                 self, self._machine, v, y_strings, z_strings, shape,
                 "entropy_bottleneck", self.model.num_slices * 4,
                 self._support,
             )
-            hz_sym = self.kit.decode_z(
-                hz_strings, human_shape[0], human_shape[1],
-                "entropy_bottleneck_human",
-            )
-            hz_hat = self._human_z_dequant(v, hz_sym)
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
-            hy_sym = self.kit.decode_gaussian(hy_strings, index)
         else:
             z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
             z_hat = (
@@ -355,6 +379,15 @@ class CRCCodec:
             slices, _, _ = self._machine_decode_loop(v, state, decoder=decoder)
             y_hat = self._machine.assemble(v, slices)
 
+        if self.wire == "device":
+            hz_sym = self.kit.decode_z(
+                hz_strings, human_shape[0], human_shape[1],
+                "entropy_bottleneck_human",
+            )
+            hz_hat = self._human_z_dequant(v, hz_sym)
+            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            hy_sym = self.kit.decode_gaussian(hy_strings, index)
+        else:
             hz_sym = self._decode_z(
                 hz_strings, human_shape, "entropy_bottleneck_human"
             )

@@ -206,9 +206,26 @@ class DeviceWireKit:
 
             self._encode_z_fns[key], self._decode_z_fns[key] = make(edev)
 
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def encode_y_stack(syms, idxs, n_l):
+            """(N, B, h, w, sc) stacked slices -> the same lane layout
+            encode_y_slices builds from per-slice lists."""
+            N, B, h, w, sc = syms.shape
+            ppl = (h * w) // n_l
+
+            def lay(a):
+                return (
+                    a.reshape(N, B, n_l, ppl, sc)
+                    .transpose(0, 3, 4, 1, 2)
+                    .reshape(N * ppl * sc, B * n_l)
+                )
+
+            return encode_lanes(lay(syms), lay(idxs.astype(jnp.int32)), gdev)
+
         self.to_lanes = to_lanes
         self.from_lanes = from_lanes
         self._encode_y = encode_y
+        self._encode_y_stack = encode_y_stack
         self._decode_y_slice = decode_y_slice
 
     # --- layout ---------------------------------------------------------
@@ -292,6 +309,13 @@ class DeviceWireKit:
         """Bottleneck-coded tensor (device int32 (B, zh, zw, C))."""
         enc = self._encode_z_fns[key](z_sym)
         return [_pack_wire(*p) for p in self.fetch_encoded(enc, z_sym.shape[0])]
+
+    def encode_y_stack(self, syms, idxs) -> List[bytes]:
+        """Stacked (N, B, h, w, sc) device symbols + scale indexes (the
+        scan codec's outputs) -> the standard y wire, one blob/image."""
+        N, B, h, w, sc = syms.shape
+        enc = self._encode_y_stack(syms, idxs, self.n_lanes(h, w))
+        return [_pack_wire(*p) for p in self.fetch_encoded(enc, B)]
 
     def encode_gaussian(self, sym, index) -> List[bytes]:
         """One-shot Gaussian-coded tensor: (B, h, w, C) int32 symbols +

@@ -1,0 +1,231 @@
+"""One-compile charm-layer codec: the whole AR chain as a single lax.scan.
+
+The unrolled codec protocol (``crc_codec._CharmLayerDriver``) compiles one
+program per slice per direction — ctx_slices grows to 24 for the CRC
+families, and over a remote-TPU tunnel those compiles dominate warmup
+(BENCH_MATRIX_r03: stf13 445 s, czigzag 231 s; the reference pays the
+analogous cost as per-slice Python dispatch, ``stf13.py:467-535``).
+
+``ZigzagScanWire`` compiles the ENTIRE autoregressive chain — context
+convolutions (stacked per-slice weights), scale bucketing, and the
+on-device lane rANS (``coding/device_rans.py``) — as ONE ``lax.scan``
+program. The program is shared verbatim by encoder and decoder: a traced
+``is_encode`` flag selects the symbol source with ``lax.cond`` (quantize
+from the true latent vs. pull from the rANS streams), while the float
+context math sits OUTSIDE the cond. Both directions therefore execute the
+same compiled executable, so the AR context is bit-identical by
+construction — a stronger guarantee than the shared-jitted-function
+invariant the unrolled protocol relies on, and the reason the streams
+cannot desync.
+
+Scan-vs-unrolled float caveat: the stacked fixed-width first conv reduces
+in a different order than the unrolled variable-width one (see
+``zigzag_coder.stack_zigzag_params``), so scan-wire bitstreams are
+self-consistent but NOT interchangeable with unrolled-protocol streams.
+One wire per serving fleet, as with the device/host wire split.
+
+Reference parity note: this coder covers the same models as the unrolled
+drivers (stf9/11/12/14 machine layers, stf13 machine+seg, oj/seg_oj); the
+reference never shipped a working coder for most of them (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding.device_rans import decode_lanes, fix_escapes, init_lanes
+from ..entropy import build_indexes
+from .codec import enc_round
+from .zigzag_coder import stack_zigzag_params
+
+_WORD_BUCKET = 1 << 16  # scan-program words bucket (uint16 words)
+
+
+def _cc_apply(p: dict, x: jax.Array) -> jax.Array:
+    """ShallowCC forward from raw stacked-slice params (conv 3x3 s1 SAME
+    + exact gelu between, linear last — nn/factories.py:177)."""
+    names = sorted(p.keys(), key=lambda n: int(n.split("_")[1]))
+    for j, ln in enumerate(names):
+        k, b = p[ln]["kernel"], p[ln]["bias"]
+        x = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        if j + 1 < len(names):
+            x = jax.nn.gelu(x, approximate=False)
+    return x
+
+
+def _round_up(n: int, q: int) -> int:
+    return ((max(n, 1) + q - 1) // q) * q
+
+
+class ZigzagScanWire:
+    """Scan-codec driver for one ``ZigzagCharmCoder`` layer.
+
+    ``param_path``: key path of the coder subtree inside
+    ``variables['params']`` (e.g. ``('machine', 'coder')``).
+    """
+
+    def __init__(self, model, variables, getter, param_path, kit,
+                 scale_table_dev, narrow: float = 1.0):
+        self.kit = kit
+        # static layer config, read through one apply (the coder instance
+        # only exists inside setup)
+        N, sc, max_sup, sup_num, apply_lrp = model.apply(
+            variables,
+            method=lambda m: (
+                getter(m).ctx_slices,
+                getter(m).slice_ch,
+                getter(m).max_support,
+                getter(m).support_num,
+                getter(m).apply_lrp,
+            ),
+        )
+        self.N, self.sc = int(N), int(sc)
+        Wc = min(int(sup_num), self.N)
+        self.Wc = Wc
+        p = variables["params"]
+        for k in param_path:
+            p = p[k]
+        cond_width = Wc * self.sc
+        self._stacked = jax.device_put(
+            stack_zigzag_params(
+                p, self.N, self.sc, int(max_sup), cond_width,
+                apply_lrp=bool(apply_lrp),
+            )["zz_scan"]
+        )
+        gdev = kit.gauss_dev
+        ms = int(max_sup)
+        lrp = bool(apply_lrp)
+        n_cap = self.N
+
+        @jax.jit
+        def program(p_xs, means_stack, scales_stack, y_stack,
+                    words, off, esc_d, esc_r, is_enc):
+            N_, B, h, w, sc_ = y_stack.shape
+            n_l = kit.n_lanes(h, w)
+            L = B * n_l
+            ppl = (h * w) // n_l
+            buf0 = jnp.zeros((B, h, w, ms * sc_), y_stack.dtype)
+            state0, ptr0 = init_lanes(words, off)
+
+            def step(carry, xs):
+                i, buf, st, pt = carry
+                p_i, y_i, ed, er = xs
+                s = jnp.minimum(i, N_ - Wc)
+                win_m = jax.lax.dynamic_slice_in_dim(means_stack, s, Wc, 0)
+                win_s = jax.lax.dynamic_slice_in_dim(scales_stack, s, Wc, 0)
+                cm = jnp.moveaxis(win_m, 0, 3).reshape(B, h, w, Wc * sc_)
+                cs = jnp.moveaxis(win_s, 0, 3).reshape(B, h, w, Wc * sc_)
+                mean_support = jnp.concatenate([cm, buf], axis=-1)
+                mu = _cc_apply(p_i["cc_mean"], mean_support)
+                scale = _cc_apply(
+                    p_i["cc_scale"], jnp.concatenate([cs, buf], axis=-1)
+                )
+                index = build_indexes(scale, scale_table_dev)
+                rows = (
+                    index.reshape(B, n_l, ppl, sc_)
+                    .transpose(2, 3, 0, 1)
+                    .reshape(ppl * sc_, L)
+                )
+
+                def enc_fn(op):
+                    st, pt = op
+                    sym = enc_round(y_i - mu, narrow).astype(jnp.int32)
+                    return sym, st, pt
+
+                def dec_fn(op):
+                    st, pt = op
+                    vals, st2, pt2 = decode_lanes(
+                        words, off, rows, gdev, state=st, ptr=pt
+                    )
+                    vals = fix_escapes(vals, ed, er)
+                    sym = (
+                        vals.reshape(ppl, sc_, B, n_l)
+                        .transpose(2, 3, 0, 1)
+                        .reshape(B, h, w, sc_)
+                    )
+                    return sym, st2, pt2
+
+                sym, st, pt = jax.lax.cond(is_enc, enc_fn, dec_fn, (st, pt))
+                y_hat = sym.astype(mu.dtype) + mu
+                if lrp:
+                    lrp_in = jnp.concatenate([mean_support, y_hat], axis=-1)
+                    y_hat = y_hat + 0.5 * jnp.tanh(
+                        _cc_apply(p_i["lrp"], lrp_in)
+                    )
+                buf = jnp.concatenate([buf[..., sc_:], y_hat], axis=-1)
+                return (i + 1, buf, st, pt), (
+                    y_hat, sym, index.astype(jnp.uint8)
+                )
+
+            (_, _, st, pt), (y_hats, syms, idxs) = jax.lax.scan(
+                step,
+                (jnp.int32(0), buf0, state0, ptr0),
+                (p_xs, y_stack, esc_d, esc_r),
+            )
+            return y_hats, syms, idxs
+
+        self._program = program
+
+    # --- helpers -----------------------------------------------------------
+    def _lanes(self, B: int, h: int, w: int) -> int:
+        return B * self.kit.n_lanes(h, w)
+
+    def _dummy_stream(self, L: int, cap: int = 64):
+        words = jnp.zeros((_WORD_BUCKET,), jnp.int32)
+        off = jnp.zeros((L,), jnp.int32)
+        d = jnp.zeros((self.N, cap), jnp.int32)
+        r = jnp.zeros((self.N, cap), jnp.int32)
+        return words, off, d, r
+
+    # --- public API --------------------------------------------------------
+    def encode(self, state: dict, y_slices: List[jax.Array]):
+        """state: ``ctx_prepare`` output ({"means": [...], "scales":
+        [...]}); returns (wire blobs per image, y_hat slice list)."""
+        means = jnp.stack(state["means"], axis=0)
+        scales = jnp.stack(state["scales"], axis=0)
+        y_stack = jnp.stack(y_slices, axis=0)
+        _, B, h, w, _ = y_stack.shape
+        words, off, d, r = self._dummy_stream(self._lanes(B, h, w))
+        y_hats, syms, idxs = self._program(
+            self._stacked, means, scales, y_stack,
+            words, off, d, r, jnp.bool_(True),
+        )
+        blobs = self.kit.encode_y_stack(syms, idxs)
+        return blobs, [y_hats[i] for i in range(self.N)]
+
+    def decode(self, blobs: List[bytes], state: dict):
+        """-> y_hat slice list (the scan consumes the same wire format
+        :meth:`encode` emits; see DeviceWireKit.encode_y_slices)."""
+        means = jnp.stack(state["means"], axis=0)
+        scales = jnp.stack(state["scales"], axis=0)
+        N_, B, h, w, sc = means.shape
+        kit = self.kit
+        words, off, dest, raw = kit.upload_words(blobs)
+        n_l = kit.n_lanes(h, w)
+        L = B * n_l
+        Ts = ((h * w) // n_l) * sc
+        cap = kit.esc_cap(dest, self.N, Ts * L)
+        segs = [
+            kit.esc_segment(dest, raw, i * Ts * L, (i + 1) * Ts * L, cap=cap)
+            for i in range(self.N)
+        ]
+        esc_d = jnp.stack([s[0] for s in segs], axis=0)
+        esc_r = jnp.stack([s[1] for s in segs], axis=0)
+        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
+        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
+            words.astype(jnp.int32)
+        )
+        y_stack = jnp.zeros((self.N, B, h, w, sc), means.dtype)
+        y_hats, _, _ = self._program(
+            self._stacked, means, scales, y_stack,
+            words32, off, esc_d, esc_r, jnp.bool_(False),
+        )
+        return [y_hats[i] for i in range(self.N)]

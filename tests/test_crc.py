@@ -187,6 +187,37 @@ def test_crc3_codec_device_wire_roundtrip():
     )
 
 
+def test_crc_codec_scan_wire_roundtrip():
+    """stf9 over the SCAN wire (whole AR chain as one lax.scan shared by
+    encoder/decoder): bitexact roundtrip, and the scan context agrees
+    with the unrolled protocol up to float-accumulation noise (isolated
+    rounding-boundary flips move y_hat by a quantization step, so the
+    check is distributional, as in tests/test_zigzag_scan.py)."""
+    from icm_tpu.models.crc_codec import CRCCodec
+
+    model = create_model("stf9", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    scan = CRCCodec(model, variables, wire="device", scan_wire=True)
+    enc = scan.compress(x, return_debug=True)
+    dec = scan.decompress(enc["strings"], enc["shape"], enc["human_shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["x_hat"]),
+        np.clip(np.asarray(enc["x_hat"]), 0, 1),
+    )
+
+    host = CRCCodec(model, variables, tables=scan.tables)
+    henc = host.compress(x, return_debug=True)
+    d = np.abs(np.asarray(enc["y_hat"]) - np.asarray(henc["y_hat"]))
+    assert np.mean(d > 1e-2) < 0.005, np.mean(d > 1e-2)
+    assert np.median(d) < 1e-4
+
+
 def test_crc_codec_pipelined_roundtrip():
     """Symmetric stream-group pipelining (threaded groups) on the layered
     coder: bitexact y_hat vs the encoder within the pipelined config."""

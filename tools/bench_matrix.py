@@ -69,7 +69,8 @@ def sync_scalar(a) -> float:
 
 
 def bench_family(
-    name: str, size: int, batch: int, iters: int, narrow: float = 1.0
+    name: str, size: int, batch: int, iters: int, narrow: float = 1.0,
+    wire: str = "host",
 ) -> dict:
     from icm_tpu.models import create_model
 
@@ -105,16 +106,20 @@ def bench_family(
     if name == "czigzag":
         from icm_tpu.models.crc_codec import CzigzagCodec
 
-        codec, kind = CzigzagCodec(model, variables, narrow=narrow), "czigzag"
+        codec = CzigzagCodec(model, variables, narrow=narrow, wire=wire)
+        kind = "czigzag"
     else:
-        codec, kind = build_codec(name, model, variables)
+        codec, kind = build_codec(name, model, variables, wire=wire)
         if narrow != 1.0:
             try:  # rebuild with encoder-side narrowing where supported;
                 # use the CODEC's model/variables — build_codec descans
                 # stf5-8's stacked scan params to the per-slice protocol
+                wire_kw = (
+                    {"wire": wire} if kind in ("crc", "crc3", "segoj") else {}
+                )
                 codec = type(codec)(
                     codec.model, codec.variables,
-                    tables=codec.tables, narrow=narrow,
+                    tables=codec.tables, narrow=narrow, **wire_kw,
                 )
             except TypeError:
                 # teacher-forced one-shot encoders (stf3/stf4) cannot
@@ -177,6 +182,7 @@ def bench_family(
         "size": size,
         "batch": batch,
         "narrow": narrow,
+        "wire": wire,
         "bpp": round(bits / (batch * size * size), 4),
         "enc_images_per_sec": round(batch / te, 3),
         "dec_images_per_sec": round(batch / td, 3),
@@ -195,6 +201,10 @@ def main():
         "--out", default=os.path.join(REPO, "BENCH_MATRIX_r04.json")
     )
     ap.add_argument(
+        "--wire", default="host", choices=("host", "device"),
+        help="entropy-coding transport (device = DeviceWireKit lanes)",
+    )
+    ap.add_argument(
         "--narrow", type=float, default=1.0,
         help="encoder residual scaling: <1 gives trained-like symbol "
         "statistics under random init (codec.enc_round; VERDICT r3 #3)",
@@ -203,14 +213,16 @@ def main():
     rows = []
     if os.path.exists(ns.out):
         rows = json.load(open(ns.out))
-    done = {r["model"] for r in rows}
+    done = {(r["model"], r.get("wire", "host")) for r in rows}
     for name in ns.families.split(","):
-        if name in done:
+        if (name, ns.wire) in done:
             print(f"skip {name} (already recorded)", flush=True)
             continue
         size, batch = FAMILIES[name]
         try:
-            row = bench_family(name, size, batch, ns.iters, ns.narrow)
+            row = bench_family(
+                name, size, batch, ns.iters, ns.narrow, ns.wire
+            )
         except Exception as e:
             row = {"model": name, "error": repr(e)}
         print(json.dumps(row), flush=True)

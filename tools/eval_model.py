@@ -181,34 +181,46 @@ def descan_for_codec(model, variables):
     return model, jax.device_put(variables)
 
 
-def build_codec(name, model, variables):
-    """Codec driver for a registry name (None if the model has none)."""
+def build_codec(name, model, variables, wire: str = "host"):
+    """Codec driver for a registry name (None if the model has none).
+
+    ``wire='device'`` selects on-device entropy coding (DeviceWireKit)
+    for every charm-protocol family; the token-AR coders (stf2/stf3/
+    stf4) have no device wire and raise."""
     model, variables = descan_for_codec(model, variables)
     kind = CODEC_KINDS.get(name, "charm")
     if kind == "crc":
         from icm_tpu.models import CRCCodec
 
-        return CRCCodec(model, variables), kind
+        return CRCCodec(model, variables, wire=wire), kind
     if kind == "crc3":
         from icm_tpu.models.crc_codec import CRC3Codec
 
-        return CRC3Codec(model, variables), kind
+        return CRC3Codec(model, variables, wire=wire), kind
     if kind == "segoj":
         from icm_tpu.models import SegOjCodec
 
-        return SegOjCodec(model, variables), kind
+        return SegOjCodec(model, variables, wire=wire), kind
     if kind == "stf2":
         from icm_tpu.models.crc_codec import Stf2Codec
 
+        if wire == "device":
+            raise ValueError(f"{name}: token-AR coder has no device wire")
         return Stf2Codec(model, variables), kind
     if kind == "masked":
         from icm_tpu.models import Stf3Codec
 
+        if wire == "device":
+            raise ValueError(f"{name}: token-AR coder has no device wire")
         return Stf3Codec(model, variables), kind
     if kind == "czigzag":
         from icm_tpu.models.crc_codec import CzigzagCodec
 
-        return CzigzagCodec(model, variables), kind
+        return CzigzagCodec(model, variables, wire=wire), kind
+    if wire == "device":
+        from icm_tpu.models.device_codec import DeviceWireCodec
+
+        return DeviceWireCodec(model, variables), kind
     from icm_tpu.models import CharmCodec
 
     return CharmCodec(model, variables), kind
