@@ -106,6 +106,32 @@ def _device_decode_layer(codec, driver, v, y_strings, z_strings, shape_hw,
     return driver.assemble(v, slices)
 
 
+def _scan_encode_layer(codec, driver, scanw, v, y, z_key, z=None):
+    """Charm layer encode over the SCAN wire (models/scan_codec.py): z on
+    the kit lanes, the whole y AR chain as one lax.scan program."""
+    kit = codec.kit
+    if z is None:
+        z = driver.h_a(v, y)
+    med = driver.eb_medians(v)
+    z_sym = _q_sym(z, med, codec.narrow)
+    z_strings = kit.encode_z(z_sym, z_key)
+    z_hat = _dq_sym(z_sym, med)
+    state = driver.ctx_prepare(v, z_hat)
+    y_slices = driver.latent_slices(v, y)
+    y_strings, y_hat_slices = scanw.encode(state, y_slices)
+    return y_strings, z_strings, driver.assemble(v, y_hat_slices), z.shape[1:3]
+
+
+def _scan_decode_layer(codec, driver, scanw, v, y_strings, z_strings,
+                       shape_hw, z_key):
+    kit = codec.kit
+    z_sym = kit.decode_z(z_strings, shape_hw[0], shape_hw[1], z_key)
+    med = driver.eb_medians(v)
+    z_hat = _dq_sym(z_sym, med)
+    state = driver.ctx_prepare(v, z_hat)
+    return driver.assemble(v, scanw.decode(y_strings, state))
+
+
 def _make_kit(codec, wire: str):
     """Attach a DeviceWireKit when ``wire='device'``; the host wire needs
     none. The device wire is this framework's TPU-native format (NOT
@@ -117,6 +143,25 @@ def _make_kit(codec, wire: str):
         from .device_codec import DeviceWireKit
 
         codec.kit = DeviceWireKit(codec.tables)
+
+
+def _make_scans(codec, scan_wire: bool, scale_table_dev, layers: dict):
+    """Attach per-layer ``ZigzagScanWire`` drivers (scan_codec.py) keyed
+    by the `_CharmLayerDriver` name; ``layers[name] = (getter, path)``."""
+    codec.scan_wire = scan_wire
+    if not scan_wire:
+        return
+    if codec.wire != "device":
+        raise ValueError("scan_wire requires wire='device'")
+    from .scan_codec import ZigzagScanWire
+
+    codec._scans = {
+        name: ZigzagScanWire(
+            codec.model, codec.variables, getter, path, codec.kit,
+            scale_table_dev, narrow=codec.narrow,
+        )
+        for name, (getter, path) in layers.items()
+    }
 
 
 class CRCCodec:
@@ -133,17 +178,10 @@ class CRCCodec:
         self.tables = tables or build_codec_tables(model, variables)
         self._scale_table_dev = jnp.asarray(self.tables.scale_table)
         _make_kit(self, wire)
-        self.scan_wire = scan_wire
-        if scan_wire:
-            if wire != "device":
-                raise ValueError("scan_wire requires wire='device'")
-            from .scan_codec import ZigzagScanWire
-
-            self._scan = ZigzagScanWire(
-                model, variables, lambda m: m.machine.coder,
-                ("machine", "coder"), self.kit, self._scale_table_dev,
-                narrow=narrow,
-            )
+        _make_scans(
+            self, scan_wire, self._scale_table_dev,
+            {"machine": (lambda m: m.machine.coder, ("machine", "coder"))},
+        )
         mdl = model
 
         # --- machine layer stages (delegating into model.machine.coder) ---
@@ -265,14 +303,10 @@ class CRCCodec:
         zh, zw = z.shape[1], z.shape[2]
 
         if self.wire == "device" and self.scan_wire:
-            med = self._machine.eb_medians(v)
-            z_sym_dev = _q_sym(z, med, self.narrow)
-            z_strings = self.kit.encode_z(z_sym_dev, "entropy_bottleneck")
-            z_hat = _dq_sym(z_sym_dev, med)
-            state = self._machine.ctx_prepare(v, z_hat)
-            y_slices = self._machine.latent_slices(v, y)
-            y_strings, y_hat_slices = self._scan.encode(state, y_slices)
-            y_hat = self._machine.assemble(v, y_hat_slices)
+            y_strings, z_strings, y_hat, _ = _scan_encode_layer(
+                self, self._machine, self._scans["machine"], v, y,
+                "entropy_bottleneck", z=z,
+            )
         elif self.wire == "device":
             y_strings, z_strings, y_hat, _ = _device_encode_layer(
                 self, self._machine, v, y, "entropy_bottleneck",
@@ -354,14 +388,9 @@ class CRCCodec:
         v = self.variables
         y_strings, z_strings, hy_strings, hz_strings = strings
         if self.wire == "device" and self.scan_wire:
-            z_sym = self.kit.decode_z(
-                z_strings, shape[0], shape[1], "entropy_bottleneck"
-            )
-            med = self._machine.eb_medians(v)
-            z_hat = _dq_sym(z_sym, med)
-            state = self._machine.ctx_prepare(v, z_hat)
-            y_hat = self._machine.assemble(
-                v, self._scan.decode(y_strings, state)
+            y_hat = _scan_decode_layer(
+                self, self._machine, self._scans["machine"], v, y_strings,
+                z_strings, shape, "entropy_bottleneck",
             )
         elif self.wire == "device":
             y_hat = _device_decode_layer(
@@ -553,7 +582,8 @@ class SegOjCodec:
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
                  narrow: float = 1.0,
-                 wire: str = "host"):
+                 wire: str = "host",
+                 scan_wire: bool = False):
         from .base import sliding_support
 
         self.narrow = narrow  # see codec.enc_round
@@ -562,6 +592,13 @@ class SegOjCodec:
         self.tables = tables or build_codec_tables(model, variables)
         _make_kit(self, wire)
         st = jnp.asarray(self.tables.scale_table)
+        _make_scans(
+            self, scan_wire, st,
+            {
+                "machine": (lambda m: m.coder, ("coder",)),
+                "seg": (lambda m: m.seg_coder, ("seg_coder",)),
+            },
+        )
         self.machine = _CharmLayerDriver(
             model, st, lambda m: m.coder, "machine", narrow=narrow
         )
@@ -618,6 +655,10 @@ class SegOjCodec:
         return sym.reshape(B, h, w, C)
 
     def _encode_layer(self, driver, v, y, z_key):
+        if self.wire == "device" and self.scan_wire:
+            return _scan_encode_layer(
+                self, driver, self._scans[driver.name], v, y, z_key
+            )
         if self.wire == "device":
             return _device_encode_layer(
                 self, driver, v, y, z_key, self.model.num_slices * 4,
@@ -645,6 +686,11 @@ class SegOjCodec:
         return y_strings, z_strings, driver.assemble(v, slices), z.shape[1:3]
 
     def _decode_layer(self, driver, v, y_strings, z_strings, shape_hw, z_key):
+        if self.wire == "device" and self.scan_wire:
+            return _scan_decode_layer(
+                self, driver, self._scans[driver.name], v, y_strings,
+                z_strings, shape_hw, z_key,
+            )
         if self.wire == "device":
             return _device_decode_layer(
                 self, driver, v, y_strings, z_strings, shape_hw, z_key,
@@ -734,7 +780,8 @@ class CRC3Codec:
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
                  narrow: float = 1.0,
-                 wire: str = "host"):
+                 wire: str = "host",
+                 scan_wire: bool = False):
         from .base import sliding_support
 
         self.narrow = narrow  # see codec.enc_round
@@ -743,6 +790,13 @@ class CRC3Codec:
         self.tables = tables or build_codec_tables(model, variables)
         _make_kit(self, wire)
         st = jnp.asarray(self.tables.scale_table)
+        _make_scans(
+            self, scan_wire, st,
+            {
+                "machine": (lambda m: m.machine.coder, ("machine", "coder")),
+                "seg": (lambda m: m.seg_coder, ("seg_coder",)),
+            },
+        )
         self.machine = _CharmLayerDriver(
             model, st, lambda m: m.machine.coder, "machine", narrow=narrow
         )

@@ -218,6 +218,28 @@ def test_crc_codec_scan_wire_roundtrip():
     assert np.median(d) < 1e-4
 
 
+def test_crc3_codec_scan_wire_roundtrip():
+    """stf13 with BOTH charm layers on the scan wire."""
+    from icm_tpu.models.crc_codec import CRC3Codec
+
+    model = create_model("stf13", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    codec = CRC3Codec(model, variables, wire="device", scan_wire=True)
+    enc = codec.compress(x, return_debug=True)
+    dec = codec.decompress(
+        enc["strings"], enc["shape"], enc["seg_shape"], enc["human_shape"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["seg_y_hat"]), np.asarray(enc["seg_y_hat"])
+    )
+
+
 def test_crc_codec_pipelined_roundtrip():
     """Symmetric stream-group pipelining (threaded groups) on the layered
     coder: bitexact y_hat vs the encoder within the pipelined config."""

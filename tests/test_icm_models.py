@@ -148,6 +148,24 @@ def test_seg_oj_icm_device_wire_roundtrip():
     )
 
 
+def test_seg_oj_icm_scan_wire_roundtrip():
+    """seg_oj_ICM with both charm layers on the scan wire."""
+    from icm_tpu.models.crc_codec import SegOjCodec
+
+    model = create_model("seg_oj_ICM", **TINY_CODEC, with_task_net=False)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(_rngs(), x)
+    codec = SegOjCodec(model, variables, wire="device", scan_wire=True)
+    enc = codec.compress(x, return_debug=True)
+    dec = codec.decompress(enc["strings"], enc["shape"], enc["seg_shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["seg_y_hat"]), np.asarray(enc["seg_y_hat"])
+    )
+
+
 def test_cnn2_codec_roundtrip():
     """cnn2 codes with CharmCodec (inherits the WACNN protocol; the
     RetinaNet student is eval-side only)."""
