@@ -70,7 +70,7 @@ def sync_scalar(a) -> float:
 
 def bench_family(
     name: str, size: int, batch: int, iters: int, narrow: float = 1.0,
-    wire: str = "host",
+    wire: str = "host", scan_wire: bool = False,
 ) -> dict:
     from icm_tpu.models import create_model
 
@@ -109,13 +109,17 @@ def bench_family(
         codec = CzigzagCodec(model, variables, narrow=narrow, wire=wire)
         kind = "czigzag"
     else:
-        codec, kind = build_codec(name, model, variables, wire=wire)
+        codec, kind = build_codec(
+            name, model, variables, wire=wire, scan_wire=scan_wire
+        )
         if narrow != 1.0:
             try:  # rebuild with encoder-side narrowing where supported;
                 # use the CODEC's model/variables — build_codec descans
                 # stf5-8's stacked scan params to the per-slice protocol
                 wire_kw = (
-                    {"wire": wire} if kind in ("crc", "crc3", "segoj") else {}
+                    {"wire": wire, "scan_wire": scan_wire}
+                    if kind in ("crc", "crc3", "segoj")
+                    else {}
                 )
                 codec = type(codec)(
                     codec.model, codec.variables,
@@ -182,7 +186,7 @@ def bench_family(
         "size": size,
         "batch": batch,
         "narrow": narrow,
-        "wire": wire,
+        "wire": ("device+scan" if scan_wire else wire),
         "bpp": round(bits / (batch * size * size), 4),
         "enc_images_per_sec": round(batch / te, 3),
         "dec_images_per_sec": round(batch / td, 3),
@@ -209,19 +213,28 @@ def main():
         help="encoder residual scaling: <1 gives trained-like symbol "
         "statistics under random init (codec.enc_round; VERDICT r3 #3)",
     )
+    ap.add_argument(
+        "--scan-wire", action="store_true",
+        help="CRC-family kinds: one-lax.scan AR codec (scan_codec.py); "
+        "implies --wire device",
+    )
     ns = ap.parse_args()
+    if ns.scan_wire:
+        ns.wire = "device"
+    wire_tag = "device+scan" if ns.scan_wire else ns.wire
     rows = []
     if os.path.exists(ns.out):
         rows = json.load(open(ns.out))
     done = {(r["model"], r.get("wire", "host")) for r in rows}
     for name in ns.families.split(","):
-        if (name, ns.wire) in done:
+        if (name, wire_tag) in done:
             print(f"skip {name} (already recorded)", flush=True)
             continue
         size, batch = FAMILIES[name]
         try:
             row = bench_family(
-                name, size, batch, ns.iters, ns.narrow, ns.wire
+                name, size, batch, ns.iters, ns.narrow, ns.wire,
+                ns.scan_wire,
             )
         except Exception as e:
             row = {"model": name, "error": repr(e)}

@@ -181,26 +181,36 @@ def descan_for_codec(model, variables):
     return model, jax.device_put(variables)
 
 
-def build_codec(name, model, variables, wire: str = "host"):
+def build_codec(name, model, variables, wire: str = "host",
+                scan_wire: bool = False):
     """Codec driver for a registry name (None if the model has none).
 
     ``wire='device'`` selects on-device entropy coding (DeviceWireKit)
     for every charm-protocol family; the token-AR coders (stf2/stf3/
-    stf4) have no device wire and raise."""
+    stf4) have no device wire and raise. ``scan_wire=True`` (CRC-family
+    kinds only, requires wire='device') compiles each AR layer as ONE
+    lax.scan program (models/scan_codec.py) instead of per-slice
+    programs — the warm-up cost drops from ctx_slices compiles per
+    direction to one."""
     model, variables = descan_for_codec(model, variables)
     kind = CODEC_KINDS.get(name, "charm")
+    if scan_wire and kind not in ("crc", "crc3", "segoj"):
+        raise ValueError(f"{name} ({kind}): no scan-wire codec")
     if kind == "crc":
         from icm_tpu.models import CRCCodec
 
-        return CRCCodec(model, variables, wire=wire), kind
+        return CRCCodec(model, variables, wire=wire,
+                        scan_wire=scan_wire), kind
     if kind == "crc3":
         from icm_tpu.models.crc_codec import CRC3Codec
 
-        return CRC3Codec(model, variables, wire=wire), kind
+        return CRC3Codec(model, variables, wire=wire,
+                         scan_wire=scan_wire), kind
     if kind == "segoj":
         from icm_tpu.models import SegOjCodec
 
-        return SegOjCodec(model, variables, wire=wire), kind
+        return SegOjCodec(model, variables, wire=wire,
+                          scan_wire=scan_wire), kind
     if kind == "stf2":
         from icm_tpu.models.crc_codec import Stf2Codec
 
