@@ -984,7 +984,8 @@ class CzigzagCodec:
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
                  narrow: float = 1.0,
-                 wire: str = "host"):
+                 wire: str = "host",
+                 scan_wire: bool = False):
         import functools
 
         from .base import sliding_support
@@ -996,6 +997,15 @@ class CzigzagCodec:
         _make_kit(self, wire)
         st = jnp.asarray(self.tables.scale_table)
         self._support = sliding_support(model.max_support)
+        self.scan_wire = scan_wire
+        if scan_wire:
+            if wire != "device":
+                raise ValueError("scan_wire requires wire='device'")
+            from .scan_codec import CzigzagScanWire
+
+            self._scanw = CzigzagScanWire(
+                model, variables, self.kit, st, narrow=narrow
+            )
         mdl = model
 
         @jax.jit
@@ -1130,10 +1140,13 @@ class CzigzagCodec:
             z_hat = _dq_sym(z_sym_dev, med)
             state = self._ctx_prepare(v, z_hat, hctx, hctx2)
             y_slices = self._latent_slices(v, y)
-            slices, sym32s, idxs = self._loop_device(
-                v, state, y_slices=y_slices
-            )
-            y_strings = self.kit.encode_y_slices(sym32s, idxs)
+            if self.scan_wire:
+                y_strings, slices = self._scanw.encode(state, y_slices)
+            else:
+                slices, sym32s, idxs = self._loop_device(
+                    v, state, y_slices=y_slices
+                )
+                y_strings = self.kit.encode_y_slices(sym32s, idxs)
         else:
             z_sym = np.asarray(
                 jax.device_get(
@@ -1185,15 +1198,20 @@ class CzigzagCodec:
         _, hctx, hctx2, dec_ctx = self._pyramids(v, up_x4)
         med = self._eb_medians(v)
         if self.wire == "device":
-            ydec = self.kit.y_stream_decoder(
-                y_strings, self.model.ctx_slices
-            )
+            ydec = None
+            if not self.scan_wire:
+                ydec = self.kit.y_stream_decoder(
+                    y_strings, self.model.ctx_slices
+                )
             z_sym = self.kit.decode_z(
                 z_strings, shape[0], shape[1], "entropy_bottleneck"
             )
             z_hat = _dq_sym(z_sym, med)
             state = self._ctx_prepare(v, z_hat, hctx, hctx2)
-            slices, _, _ = self._loop_device(v, state, ydec=ydec)
+            if self.scan_wire:
+                slices = self._scanw.decode(y_strings, state)
+            else:
+                slices, _, _ = self._loop_device(v, state, ydec=ydec)
         else:
             z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
             z_hat = jnp.asarray(z_sym, jnp.float32) + med

@@ -477,6 +477,7 @@ class DeviceWireCodec(CharmCodec):
         *args,
         lanes_per_image: int = 1024,
         z_lane_groups: int = 8,
+        scan_wire: bool = False,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -497,8 +498,21 @@ class DeviceWireCodec(CharmCodec):
             lanes_per_image=lanes_per_image,
             z_lane_groups=z_lane_groups,
         )
+        # scan_wire: the whole AR chain as ONE lax.scan shared by both
+        # coder sides (scan_codec.CharmScanWire) — one compile per
+        # direction instead of ~3 programs x ctx_slices
+        self.scan_wire = scan_wire
+        if scan_wire:
+            from .scan_codec import CharmScanWire
+
+            self._scan = CharmScanWire(
+                self.model, self.variables, self.kit,
+                self._scale_table_dev, narrow=self.narrow,
+            )
 
     def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
+        if self.scan_wire:
+            return self._compress_group_scan(x, return_debug)
         pend = self._compress_dispatch(x)
         v = self.variables
         B = x.shape[0]
@@ -515,8 +529,32 @@ class DeviceWireCodec(CharmCodec):
             out["z_hat"] = pend["z_hat"]
         return out
 
+    def _compress_group_scan(
+        self, x, return_debug: bool = False
+    ) -> Dict[str, Any]:
+        """Scan-wire encode: analyze + z chain + ctx_prepare, then the
+        whole AR loop as the shared one-compile scan program."""
+        v = self.variables
+        y, z = self._analyze(v, x)
+        zh, zw = z.shape[1], z.shape[2]
+        _, z_ovf, z_sym = self._z_symbols(v, z)
+        z_hat = self._z_dequant(v, z_sym)
+        state = self._ctx_prepare(v, z_hat)
+        y_slices = self._latent_slices(v, y)
+        y_strings, y_hat_slices = self._scan.encode(state, y_slices)
+        z_strings = self.kit.encode_z(z_sym, "entropy_bottleneck")
+        out = {"strings": [y_strings, z_strings], "shape": (zh, zw)}
+        if return_debug:
+            y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
+            out["y_hat"] = y_hat
+            out["z_hat"] = z_hat
+            out["x_hat"] = x_hat
+        return out
+
     # --- decompress ---------------------------------------------------------
     def _decompress_group(self, y_strings, z_strings, shape) -> Dict[str, Any]:
+        if self.scan_wire:
+            return self._decompress_group_scan(y_strings, z_strings, shape)
         v = self.variables
         zh, zw = shape
         S = self.model.ctx_slices
@@ -542,4 +580,16 @@ class DeviceWireCodec(CharmCodec):
                 y_hat, x_hat = self._step_assemble(
                     v, i, y_hat_slices, sym, mu, mean_support
                 )
+        return {"x_hat": x_hat, "y_hat": y_hat}
+
+    def _decompress_group_scan(
+        self, y_strings, z_strings, shape
+    ) -> Dict[str, Any]:
+        v = self.variables
+        zh, zw = shape
+        z_sym = self.kit.decode_z(z_strings, zh, zw, "entropy_bottleneck")
+        z_hat = self._z_dequant(v, z_sym)
+        state = self._ctx_prepare(v, z_hat)
+        y_hat_slices = self._scan.decode(y_strings, state)
+        y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
         return {"x_hat": x_hat, "y_hat": y_hat}

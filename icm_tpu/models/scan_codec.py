@@ -40,6 +40,7 @@ import numpy as np
 
 from ..coding.device_rans import decode_lanes, fix_escapes, init_lanes
 from ..entropy import build_indexes
+from .cnn import stack_charm_params
 from .codec import enc_round
 from .zigzag_coder import stack_zigzag_params
 
@@ -226,6 +227,304 @@ class ZigzagScanWire:
         y_stack = jnp.zeros((self.N, B, h, w, sc), means.dtype)
         y_hats, _, _ = self._program(
             self._stacked, means, scales, y_stack,
+            words32, off, esc_d, esc_r, jnp.bool_(False),
+        )
+        return [y_hats[i] for i in range(self.N)]
+
+
+class CzigzagScanWire:
+    """Scan-codec driver for czigzag's conditioned zigzag AR chain:
+    sliding decoded-slice support plus look-ahead windows of BOTH the
+    hyper means/scales and the up_x4-derived hyper-context blocks
+    (reference ``czigzag.py:1102-1110``). Same one-compile shared-program
+    design as :class:`ZigzagScanWire`; mirrors the training-side
+    ``czigzag._CzigzagScanStep`` exactly."""
+
+    def __init__(self, model, variables, kit, scale_table_dev,
+                 narrow: float = 1.0):
+        from .czigzag import _czigzag_dims, stack_czigzag_params
+
+        self.kit = kit
+        N, sc, cond_w, max_sup = _czigzag_dims(model)
+        self.N, self.sc = int(N), int(sc)
+        Wc = cond_w // sc
+        self.Wc = Wc
+        self._stacked = jax.device_put(
+            stack_czigzag_params(variables["params"], model)["czigzag_scan"]
+        )
+        gdev = kit.gauss_dev
+        n_cap = self.N
+
+        @jax.jit
+        def program(p_xs, means_stack, scales_stack, hctx_stack, y_stack,
+                    words, off, esc_d, esc_r, is_enc):
+            N_, B, h, w, sc_ = y_stack.shape
+            n_l = kit.n_lanes(h, w)
+            L = B * n_l
+            ppl = (h * w) // n_l
+            buf0 = jnp.zeros((B, h, w, max_sup * sc_), y_stack.dtype)
+            state0, ptr0 = init_lanes(words, off)
+
+            def win(t, s):
+                v = jax.lax.dynamic_slice_in_dim(t, s, Wc, 0)
+                return jnp.moveaxis(v, 0, 3).reshape(B, h, w, Wc * sc_)
+
+            def step(carry, xs):
+                i, buf, st, pt = carry
+                p_i, y_i, ed, er = xs
+                s = jnp.minimum(i, N_ - Wc)
+                cm, cs, hc = (
+                    win(means_stack, s), win(scales_stack, s),
+                    win(hctx_stack, s),
+                )
+                mean_support = jnp.concatenate([cm, buf, hc], axis=-1)
+                mu = _cc_apply(p_i["cc_mean"], mean_support)
+                scale = _cc_apply(
+                    p_i["cc_scale"],
+                    jnp.concatenate([cs, buf, hc], axis=-1),
+                )
+                index = build_indexes(scale, scale_table_dev)
+                rows = (
+                    index.reshape(B, n_l, ppl, sc_)
+                    .transpose(2, 3, 0, 1)
+                    .reshape(ppl * sc_, L)
+                )
+
+                def enc_fn(op):
+                    st, pt = op
+                    sym = enc_round(y_i - mu, narrow).astype(jnp.int32)
+                    return sym, st, pt
+
+                def dec_fn(op):
+                    st, pt = op
+                    vals, st2, pt2 = decode_lanes(
+                        words, off, rows, gdev, state=st, ptr=pt
+                    )
+                    vals = fix_escapes(vals, ed, er)
+                    sym = (
+                        vals.reshape(ppl, sc_, B, n_l)
+                        .transpose(2, 3, 0, 1)
+                        .reshape(B, h, w, sc_)
+                    )
+                    return sym, st2, pt2
+
+                sym, st, pt = jax.lax.cond(is_enc, enc_fn, dec_fn, (st, pt))
+                y_hat = sym.astype(mu.dtype) + mu
+                lrp_in = jnp.concatenate([mean_support, y_hat], axis=-1)
+                y_hat = y_hat + 0.5 * jnp.tanh(_cc_apply(p_i["lrp"], lrp_in))
+                buf = jnp.concatenate([buf[..., sc_:], y_hat], axis=-1)
+                return (i + 1, buf, st, pt), (
+                    y_hat, sym, index.astype(jnp.uint8)
+                )
+
+            (_, _, st, pt), (y_hats, syms, idxs) = jax.lax.scan(
+                step,
+                (jnp.int32(0), buf0, state0, ptr0),
+                (p_xs, y_stack, esc_d, esc_r),
+            )
+            return y_hats, syms, idxs
+
+        self._program = program
+
+    _dummy_stream = ZigzagScanWire._dummy_stream
+
+    def encode(self, state: dict, y_slices: List[jax.Array]):
+        means = jnp.stack(state["means"], axis=0)
+        scales = jnp.stack(state["scales"], axis=0)
+        hctx = jnp.stack(state["hctx"], axis=0)
+        y_stack = jnp.stack(y_slices, axis=0)
+        _, B, h, w, _ = y_stack.shape
+        L = B * self.kit.n_lanes(h, w)
+        words, off, d, r = self._dummy_stream(L)
+        y_hats, syms, idxs = self._program(
+            self._stacked, means, scales, hctx, y_stack,
+            words, off, d, r, jnp.bool_(True),
+        )
+        blobs = self.kit.encode_y_stack(syms, idxs)
+        return blobs, [y_hats[i] for i in range(self.N)]
+
+    def decode(self, blobs: List[bytes], state: dict):
+        means = jnp.stack(state["means"], axis=0)
+        scales = jnp.stack(state["scales"], axis=0)
+        hctx = jnp.stack(state["hctx"], axis=0)
+        N_, B, h, w, sc = means.shape
+        kit = self.kit
+        words, off, dest, raw = kit.upload_words(blobs)
+        n_l = kit.n_lanes(h, w)
+        L = B * n_l
+        Ts = ((h * w) // n_l) * sc
+        cap = kit.esc_cap(dest, self.N, Ts * L)
+        segs = [
+            kit.esc_segment(dest, raw, i * Ts * L, (i + 1) * Ts * L, cap=cap)
+            for i in range(self.N)
+        ]
+        esc_d = jnp.stack([s[0] for s in segs], axis=0)
+        esc_r = jnp.stack([s[1] for s in segs], axis=0)
+        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
+        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
+            words.astype(jnp.int32)
+        )
+        y_stack = jnp.zeros((self.N, B, h, w, sc), means.dtype)
+        y_hats, _, _ = self._program(
+            self._stacked, means, scales, hctx, y_stack,
+            words32, off, esc_d, esc_r, jnp.bool_(False),
+        )
+        return [y_hats[i] for i in range(self.N)]
+
+
+class CharmScanWire:
+    """Scan-codec driver for the classic ChARM protocol (cnn/cnn2/stf):
+    PREFIX slice support (the first ``max_support_slices`` reconstructed
+    slices condition every later one — reference ``cnn.py:244-249``) and
+    CONSTANT hyper conditioning (the full-width h_mean_s/h_scale_s outputs
+    enter every slice's context, unlike the zigzag families' sliding
+    look-ahead windows).
+
+    Same design as :class:`ZigzagScanWire`: the whole AR chain — context
+    convs over stacked per-slice weights (``cnn.stack_charm_params``),
+    scale bucketing, and the on-device lane rANS — compiles as ONE
+    ``lax.scan`` executed verbatim by both coder sides (a traced
+    ``is_encode`` flag picks the symbol source), so the context is
+    bit-identical by construction. Scan-wire streams are self-consistent
+    but NOT interchangeable with the unrolled per-slice wire (the padded
+    fixed-width first conv reduces in a different float order)."""
+
+    def __init__(self, model, variables, kit, scale_table_dev,
+                 narrow: float = 1.0):
+        self.kit = kit
+        if not hasattr(model, "max_support_slices"):
+            raise ValueError(
+                "CharmScanWire drives prefix-support ChARM models "
+                "(cnn/cnn2/stf); sliding-support families use "
+                "ZigzagScanWire"
+            )
+        S = int(model.ctx_slices)
+        max_sup = int(model.max_support_slices)
+        p = variables["params"]
+        last_conv = sorted(
+            p["cc_mean_0"], key=lambda n: int(n.split("_")[1])
+        )[-1]
+        sc = int(p["cc_mean_0"][last_conv]["kernel"].shape[3])
+        cond_width = int(p["cc_mean_0"]["Conv_0"]["kernel"].shape[2])
+        self.N, self.sc, self.max_sup = S, sc, max_sup
+        self._stacked = jax.device_put(
+            stack_charm_params(p, S, sc, max_sup, cond_width)["charm_scan"]
+        )
+        gdev = kit.gauss_dev
+
+        @jax.jit
+        def program(p_xs, means, scales, y_stack,
+                    words, off, esc_d, esc_r, is_enc):
+            N_, B, h, w, sc_ = y_stack.shape
+            n_l = kit.n_lanes(h, w)
+            L = B * n_l
+            ppl = (h * w) // n_l
+            buf0 = jnp.zeros((B, h, w, max_sup * sc_), y_stack.dtype)
+            state0, ptr0 = init_lanes(words, off)
+
+            def step(carry, xs):
+                i, buf, st, pt = carry
+                p_i, y_i, ed, er = xs
+                mean_support = jnp.concatenate([means, buf], axis=-1)
+                mu = _cc_apply(p_i["cc_mean"], mean_support)
+                scale = _cc_apply(
+                    p_i["cc_scale"], jnp.concatenate([scales, buf], axis=-1)
+                )
+                index = build_indexes(scale, scale_table_dev)
+                rows = (
+                    index.reshape(B, n_l, ppl, sc_)
+                    .transpose(2, 3, 0, 1)
+                    .reshape(ppl * sc_, L)
+                )
+
+                def enc_fn(op):
+                    st, pt = op
+                    sym = enc_round(y_i - mu, narrow).astype(jnp.int32)
+                    return sym, st, pt
+
+                def dec_fn(op):
+                    st, pt = op
+                    vals, st2, pt2 = decode_lanes(
+                        words, off, rows, gdev, state=st, ptr=pt
+                    )
+                    vals = fix_escapes(vals, ed, er)
+                    sym = (
+                        vals.reshape(ppl, sc_, B, n_l)
+                        .transpose(2, 3, 0, 1)
+                        .reshape(B, h, w, sc_)
+                    )
+                    return sym, st2, pt2
+
+                sym, st, pt = jax.lax.cond(is_enc, enc_fn, dec_fn, (st, pt))
+                y_hat = sym.astype(mu.dtype) + mu
+                lrp_in = jnp.concatenate([mean_support, y_hat], axis=-1)
+                y_hat = y_hat + 0.5 * jnp.tanh(_cc_apply(p_i["lrp"], lrp_in))
+                # prefix support: write slot i while i < max_sup, freeze
+                slot = jnp.minimum(i, max_sup - 1) * sc_
+                updated = jax.lax.dynamic_update_slice(
+                    buf, y_hat, (0, 0, 0, slot)
+                )
+                buf = jnp.where(i < max_sup, updated, buf)
+                return (i + 1, buf, st, pt), (
+                    y_hat, sym, index.astype(jnp.uint8)
+                )
+
+            (_, _, st, pt), (y_hats, syms, idxs) = jax.lax.scan(
+                step,
+                (jnp.int32(0), buf0, state0, ptr0),
+                (p_xs, y_stack, esc_d, esc_r),
+            )
+            return y_hats, syms, idxs
+
+        self._program = program
+
+    def _dummy_stream(self, L: int, cap: int = 64):
+        words = jnp.zeros((_WORD_BUCKET,), jnp.int32)
+        off = jnp.zeros((L,), jnp.int32)
+        d = jnp.zeros((self.N, cap), jnp.int32)
+        r = jnp.zeros((self.N, cap), jnp.int32)
+        return words, off, d, r
+
+    def encode(self, state: dict, y_slices: List[jax.Array]):
+        """state: ``ctx_prepare`` output (full-width means/scales arrays);
+        returns (wire blobs per image, y_hat slice list)."""
+        y_stack = jnp.stack(y_slices, axis=0)
+        _, B, h, w, _ = y_stack.shape
+        L = B * self.kit.n_lanes(h, w)
+        words, off, d, r = self._dummy_stream(L)
+        y_hats, syms, idxs = self._program(
+            self._stacked, state["means"], state["scales"], y_stack,
+            words, off, d, r, jnp.bool_(True),
+        )
+        blobs = self.kit.encode_y_stack(syms, idxs)
+        return blobs, [y_hats[i] for i in range(self.N)]
+
+    def decode(self, blobs: List[bytes], state: dict):
+        """-> y_hat slice list. The latent grid comes from the
+        conditioning: ``ctx_prepare``'s means live at y's resolution."""
+        kit = self.kit
+        B = len(blobs)
+        h, w = state["means"].shape[1], state["means"].shape[2]
+        words, off, dest, raw = kit.upload_words(blobs)
+        n_l = kit.n_lanes(h, w)
+        L = B * n_l
+        Ts = ((h * w) // n_l) * self.sc
+        cap = kit.esc_cap(dest, self.N, Ts * L)
+        segs = [
+            kit.esc_segment(dest, raw, i * Ts * L, (i + 1) * Ts * L, cap=cap)
+            for i in range(self.N)
+        ]
+        esc_d = jnp.stack([s[0] for s in segs], axis=0)
+        esc_r = jnp.stack([s[1] for s in segs], axis=0)
+        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
+        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
+            words.astype(jnp.int32)
+        )
+        y_stack = jnp.zeros(
+            (self.N, B, h, w, self.sc), state["means"].dtype
+        )
+        y_hats, _, _ = self._program(
+            self._stacked, state["means"], state["scales"], y_stack,
             words32, off, esc_d, esc_r, jnp.bool_(False),
         )
         return [y_hats[i] for i in range(self.N)]

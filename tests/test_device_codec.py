@@ -84,3 +84,85 @@ def test_wire_header_parses(setup):
         assert (lengths >= 2).all()
         assert dest.shape == raw.shape
         assert (np.diff(dest) > 0).all()  # strictly increasing positions
+
+
+def test_scan_wire_roundtrip_cnn(setup):
+    """WACNN over the SCAN wire (CharmScanWire: the whole prefix-support
+    ChARM chain as one lax.scan shared by encoder/decoder): bitexact
+    roundtrip, and the scan context agrees with the per-slice protocol
+    up to float-accumulation noise (same distributional check as
+    tests/test_crc.py::test_crc_codec_scan_wire_roundtrip)."""
+    model, variables, x = setup
+    scan = DeviceWireCodec(
+        model, variables, lanes_per_image=4, scan_wire=True
+    )
+    enc = scan.compress(x, return_debug=True)
+    dec = scan.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["x_hat"]), np.asarray(enc["x_hat"])
+    )
+
+    host = CharmCodec(model, variables, tables=scan.tables)
+    henc = host.compress(x, return_debug=True)
+    d = np.abs(np.asarray(enc["y_hat"]) - np.asarray(henc["y_hat"]))
+    assert np.mean(d > 1e-2) < 0.005, np.mean(d > 1e-2)
+    assert np.median(d) < 1e-4
+
+
+def test_scan_wire_roundtrip_stf():
+    """stf (Swin flagship, 12 slices, prefix support 6) over the scan
+    wire."""
+    from icm_tpu.models import SymmetricalTransFormer
+
+    model = SymmetricalTransFormer(
+        embed_dim=8,
+        depths=(1, 1, 2, 1),
+        num_heads=(1, 2, 4, 8),
+        window_size=4,
+        patch_size=2,
+        num_slices=4,
+        drop_path_rate=0.1,
+        hyper_enc_widths=(64, 56, 48, 40, 32),
+        hyper_dec_widths=(40, 48, 56, 64, 64),
+        cc_widths=(24, 20, 16, 12),
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(
+        {
+            "params": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2),
+            "dropout": jax.random.PRNGKey(3),
+        },
+        x,
+    )
+    scan = DeviceWireCodec(
+        model, variables, lanes_per_image=4, scan_wire=True
+    )
+    enc = scan.compress(x, return_debug=True)
+    dec = scan.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+
+
+def test_scan_wire_rejects_sliding_support():
+    """oj_ICM-style models (sliding support, windowed conditioning) must
+    not silently ride the prefix-support scan program."""
+    from icm_tpu.models import create_model
+
+    model = create_model(
+        "oj_ICM", with_task_net=False, N=16, M=24, mid=32, num_slices=2,
+        max_support=4, support_num=8,
+        hyper_enc_widths=(24, 20, 16, 14, 12),
+        hyper_dec_widths=(14, 16, 20, 24, 24),
+        cc_widths=(20, 12),
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x
+    )
+    with pytest.raises(ValueError):
+        DeviceWireCodec(model, variables, scan_wire=True)

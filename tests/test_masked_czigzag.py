@@ -266,3 +266,38 @@ def test_stf2_scan_tokens_equals_unrolled():
         np.asarray(out_u["likelihoods"]["y"]),
         atol=2e-6,
     )
+
+
+def test_czigzag_codec_scan_wire_roundtrip():
+    """czigzag over the SCAN wire (CzigzagScanWire: conditioned zigzag
+    AR chain — sliding support + mean/scale/hctx look-ahead windows — as
+    one lax.scan shared by both coder sides): bitexact roundtrip, and
+    the scan context agrees with the unrolled device-wire protocol up to
+    float-accumulation noise."""
+    from icm_tpu.models.crc_codec import CzigzagCodec
+
+    m = create_model(
+        "czigzag",
+        embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+        window_size=4, patch_size=2, drop_path_rate=0.0,
+        num_slices=2, max_support=3, support_num=3,
+        hyper_depths=(1, 1), cc_widths=(24, 16),
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    up = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    v = _init(m, x, up)
+    scan = CzigzagCodec(m, v, wire="device", scan_wire=True)
+    enc = scan.compress(x, up, return_debug=True)
+    dec = scan.decompress(enc["strings"], enc["shape"], up)
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["x_hat"]), np.clip(np.asarray(enc["x_hat"]), 0, 1)
+    )
+
+    host = CzigzagCodec(m, v, tables=scan.tables)
+    henc = host.compress(x, up, return_debug=True)
+    d = np.abs(np.asarray(enc["y_hat"]) - np.asarray(henc["y_hat"]))
+    assert np.mean(d > 1e-2) < 0.005, np.mean(d > 1e-2)
+    assert np.median(d) < 1e-4

@@ -106,7 +106,8 @@ def bench_family(
     if name == "czigzag":
         from icm_tpu.models.crc_codec import CzigzagCodec
 
-        codec = CzigzagCodec(model, variables, narrow=narrow, wire=wire)
+        codec = CzigzagCodec(model, variables, narrow=narrow, wire=wire,
+                             scan_wire=scan_wire)
         kind = "czigzag"
     else:
         codec, kind = build_codec(
@@ -116,11 +117,12 @@ def bench_family(
             try:  # rebuild with encoder-side narrowing where supported;
                 # use the CODEC's model/variables — build_codec descans
                 # stf5-8's stacked scan params to the per-slice protocol
-                wire_kw = (
-                    {"wire": wire, "scan_wire": scan_wire}
-                    if kind in ("crc", "crc3", "segoj")
-                    else {}
-                )
+                if kind in ("crc", "crc3", "segoj"):
+                    wire_kw = {"wire": wire, "scan_wire": scan_wire}
+                elif kind == "charm" and wire == "device":
+                    wire_kw = {"scan_wire": scan_wire}
+                else:
+                    wire_kw = {}
                 codec = type(codec)(
                     codec.model, codec.variables,
                     tables=codec.tables, narrow=narrow, **wire_kw,

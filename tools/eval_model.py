@@ -194,7 +194,8 @@ def build_codec(name, model, variables, wire: str = "host",
     direction to one."""
     model, variables = descan_for_codec(model, variables)
     kind = CODEC_KINDS.get(name, "charm")
-    if scan_wire and kind not in ("crc", "crc3", "segoj"):
+    if scan_wire and kind not in ("crc", "crc3", "segoj", "charm",
+                                  "czigzag"):
         raise ValueError(f"{name} ({kind}): no scan-wire codec")
     if kind == "crc":
         from icm_tpu.models import CRCCodec
@@ -226,11 +227,14 @@ def build_codec(name, model, variables, wire: str = "host",
     if kind == "czigzag":
         from icm_tpu.models.crc_codec import CzigzagCodec
 
-        return CzigzagCodec(model, variables, wire=wire), kind
+        return CzigzagCodec(model, variables, wire=wire,
+                            scan_wire=scan_wire), kind
     if wire == "device":
         from icm_tpu.models.device_codec import DeviceWireCodec
 
-        return DeviceWireCodec(model, variables), kind
+        return DeviceWireCodec(model, variables, scan_wire=scan_wire), kind
+    if scan_wire:
+        raise ValueError("scan_wire requires wire='device'")
     from icm_tpu.models import CharmCodec
 
     return CharmCodec(model, variables), kind
