@@ -144,11 +144,32 @@ class _StageCostMeter:
                 return _fn(*args)
 
             setattr(self.codec, name, wrapper)
+        # scan wire: the whole AR chain lives in one program on the wire
+        # object — wrap it too, or the census would miss the dominant
+        # device work under --scan-wire
+        scan = getattr(self.codec, "_scan", None)
+        if scan is not None and hasattr(scan, "_program"):
+            fn = scan._program
+            self._scan_orig = fn
+
+            def scan_wrapper(*args, _fn=fn):
+                if self.phase is not None:
+                    key = ("_scan_program", tuple(
+                        (tuple(np.shape(a)), str(getattr(a, "dtype", type(a))))
+                        for a in jax.tree_util.tree_leaves(args)
+                    ))
+                    bucket = self.calls.setdefault(self.phase, {})
+                    bucket.setdefault(key, []).append((_fn, args))
+                return _fn(*args)
+
+            scan._program = scan_wrapper
         return self
 
     def __exit__(self, *exc):
         for name, fn in self._orig.items():
             setattr(self.codec, name, fn)
+        if getattr(self, "_scan_orig", None) is not None:
+            self.codec._scan._program = self._scan_orig
 
     def totals(self, phase):
         flops = bytes_ = 0.0
@@ -209,6 +230,13 @@ def main(argv=None):
     p.add_argument(
         "--lanes", type=int, default=1024,
         help="device wire: rANS streams per image (see DeviceWireCodec)",
+    )
+    p.add_argument(
+        "--scan-wire", action="store_true",
+        help="device wire only: run the whole AR chain as ONE lax.scan "
+        "shared by both coder sides (scan_codec.CharmScanWire / "
+        "ZigzagSwinScanWire) — one compile per direction instead of ~3 "
+        "programs x ctx_slices",
     )
     p.add_argument(
         "--narrow", type=float, default=1.0,
@@ -361,10 +389,12 @@ def main(argv=None):
 
         codec = DeviceWireCodec(
             model, variables, lanes_per_image=args.lanes,
-            narrow=args.narrow,
+            narrow=args.narrow, scan_wire=args.scan_wire,
         )
         groups = 1  # no host phases left to pipeline against
     else:
+        if args.scan_wire:
+            raise SystemExit("--scan-wire requires --wire device")
         codec = CharmCodec(model, variables, narrow=args.narrow)
 
     def sync(a):
@@ -418,7 +448,7 @@ def main(argv=None):
     extra = {
         "batch": batch,
         "model": args.model,
-        "wire": args.wire,
+        "wire": ("device+scan" if args.scan_wire else args.wire),
         "narrow": args.narrow,
         "act_dtype": args.act_dtype,
         "bpp_untrained": round(bpp, 3),

@@ -499,13 +499,21 @@ class DeviceWireCodec(CharmCodec):
             z_lane_groups=z_lane_groups,
         )
         # scan_wire: the whole AR chain as ONE lax.scan shared by both
-        # coder sides (scan_codec.CharmScanWire) — one compile per
-        # direction instead of ~3 programs x ctx_slices
+        # coder sides — one compile per direction instead of ~3 programs
+        # x ctx_slices. CharmScanWire drives the classic prefix-support
+        # families (cnn/cnn2/stf); ZigzagSwinScanWire drives the stf5-8
+        # zigzag family (per-slice Swin refiners in the context).
         self.scan_wire = scan_wire
         if scan_wire:
-            from .scan_codec import CharmScanWire
+            from .scan_codec import CharmScanWire, ZigzagSwinScanWire
+            from .stf_family import ZigzagSwinCodec
 
-            self._scan = CharmScanWire(
+            wire_cls = (
+                ZigzagSwinScanWire
+                if isinstance(self.model, ZigzagSwinCodec)
+                else CharmScanWire
+            )
+            self._scan = wire_cls(
                 self.model, self.variables, self.kit,
                 self._scale_table_dev, narrow=self.narrow,
             )

@@ -232,6 +232,181 @@ class ZigzagScanWire:
         return [y_hats[i] for i in range(self.N)]
 
 
+class ZigzagSwinScanWire:
+    """Scan-codec driver for the stf5-8 family (``ZigzagSwinCodec``):
+    the per-slice context includes residual Swin refiner stacks
+    (reference ``stf5.py:484-570``), so the step applies the model's own
+    ``_ZigzagCodeCtx`` flax module against the stacked ``zigzag_scan``
+    parameter subtree instead of the raw-conv ``_cc_apply`` the plain
+    wires use. Covers all four reference configs: prefix/sliding
+    support x full/window conditioning. Same shared-program design and
+    wire format as the other scan wires."""
+
+    def __init__(self, model, variables, kit, scale_table_dev,
+                 narrow: float = 1.0):
+        from .stf_family import _ZigzagCodeCtx, stack_zigzag_params
+
+        self.kit = kit
+        N = int(model.ctx_slices)
+        sc = int(model.slice_ch)
+        self.N, self.sc = N, sc
+        self.full_cond = model.mean_mode == "full"
+        Wc = int(model.mean_window) if not self.full_cond else 0
+        max_sup = int(model.max_support)
+        prefix = model.support_mode == "prefix"
+        self._stacked = jax.device_put(
+            stack_zigzag_params(variables["params"], model)["zigzag_scan"]
+        )
+        ctx_mod = _ZigzagCodeCtx(
+            slice_ch=sc,
+            cc_widths=tuple(model.cc_widths),
+            mu_depths=tuple(model.mu_refine),
+            scale_depths=tuple(model.scale_refine),
+            lrp_depths=tuple(model.lrp_refine),
+            refine_window=int(model.refine_window),
+            refine_heads=int(model.refine_heads),
+            drop_path_rate=float(model.drop_path_rate),
+        )
+        gdev = kit.gauss_dev
+        full_cond = self.full_cond
+
+        @jax.jit
+        def program(p_xs, cond_m, cond_s, y_stack,
+                    words, off, esc_d, esc_r, is_enc):
+            N_, B, h, w, sc_ = y_stack.shape
+            n_l = kit.n_lanes(h, w)
+            L = B * n_l
+            ppl = (h * w) // n_l
+            buf0 = jnp.zeros((B, h, w, max_sup * sc_), y_stack.dtype)
+            state0, ptr0 = init_lanes(words, off)
+
+            def step(carry, xs):
+                i, buf, st, pt = carry
+                p_i, y_i, ed, er = xs
+                if full_cond:
+                    cm, cs = cond_m, cond_s
+                else:
+                    s = jnp.minimum(i, N_ - Wc)
+
+                    def win(t):
+                        v = jax.lax.dynamic_slice_in_dim(t, s, Wc, 0)
+                        return jnp.moveaxis(v, 0, 3).reshape(
+                            B, h, w, Wc * sc_
+                        )
+
+                    cm, cs = win(cond_m), win(cond_s)
+                mean_support = jnp.concatenate([cm, buf], axis=-1)
+                scale_support = jnp.concatenate([cs, buf], axis=-1)
+                mu, scale = ctx_mod.apply(
+                    {"params": p_i}, mean_support, scale_support,
+                    method="context",
+                )
+                index = build_indexes(scale, scale_table_dev)
+                rows = (
+                    index.reshape(B, n_l, ppl, sc_)
+                    .transpose(2, 3, 0, 1)
+                    .reshape(ppl * sc_, L)
+                )
+
+                def enc_fn(op):
+                    st, pt = op
+                    sym = enc_round(y_i - mu, narrow).astype(jnp.int32)
+                    return sym, st, pt
+
+                def dec_fn(op):
+                    st, pt = op
+                    vals, st2, pt2 = decode_lanes(
+                        words, off, rows, gdev, state=st, ptr=pt
+                    )
+                    vals = fix_escapes(vals, ed, er)
+                    sym = (
+                        vals.reshape(ppl, sc_, B, n_l)
+                        .transpose(2, 3, 0, 1)
+                        .reshape(B, h, w, sc_)
+                    )
+                    return sym, st2, pt2
+
+                sym, st, pt = jax.lax.cond(is_enc, enc_fn, dec_fn, (st, pt))
+                y_hat = sym.astype(mu.dtype) + mu
+                y_hat = y_hat + ctx_mod.apply(
+                    {"params": p_i},
+                    jnp.concatenate([mean_support, y_hat], axis=-1),
+                    method="lrp_res",
+                )
+                if prefix:
+                    slot = jnp.minimum(i, max_sup - 1) * sc_
+                    updated = jax.lax.dynamic_update_slice(
+                        buf, y_hat, (0, 0, 0, slot)
+                    )
+                    buf = jnp.where(i < max_sup, updated, buf)
+                else:
+                    buf = jnp.concatenate([buf[..., sc_:], y_hat], axis=-1)
+                return (i + 1, buf, st, pt), (
+                    y_hat, sym, index.astype(jnp.uint8)
+                )
+
+            (_, _, st, pt), (y_hats, syms, idxs) = jax.lax.scan(
+                step,
+                (jnp.int32(0), buf0, state0, ptr0),
+                (p_xs, y_stack, esc_d, esc_r),
+            )
+            return y_hats, syms, idxs
+
+        self._program = program
+
+    _dummy_stream = ZigzagScanWire._dummy_stream
+
+    def _cond(self, state):
+        if self.full_cond:
+            return state["means"][0], state["scales"][0]
+        return (
+            jnp.stack(state["means"], axis=0),
+            jnp.stack(state["scales"], axis=0),
+        )
+
+    def encode(self, state: dict, y_slices: List[jax.Array]):
+        cond_m, cond_s = self._cond(state)
+        y_stack = jnp.stack(y_slices, axis=0)
+        _, B, h, w, _ = y_stack.shape
+        L = B * self.kit.n_lanes(h, w)
+        words, off, d, r = self._dummy_stream(L)
+        y_hats, syms, idxs = self._program(
+            self._stacked, cond_m, cond_s, y_stack,
+            words, off, d, r, jnp.bool_(True),
+        )
+        blobs = self.kit.encode_y_stack(syms, idxs)
+        return blobs, [y_hats[i] for i in range(self.N)]
+
+    def decode(self, blobs: List[bytes], state: dict):
+        cond_m, cond_s = self._cond(state)
+        if self.full_cond:
+            B, h, w = cond_m.shape[0], cond_m.shape[1], cond_m.shape[2]
+        else:
+            B, h, w = cond_m.shape[1], cond_m.shape[2], cond_m.shape[3]
+        kit = self.kit
+        words, off, dest, raw = kit.upload_words(blobs)
+        n_l = kit.n_lanes(h, w)
+        L = B * n_l
+        Ts = ((h * w) // n_l) * self.sc
+        cap = kit.esc_cap(dest, self.N, Ts * L)
+        segs = [
+            kit.esc_segment(dest, raw, i * Ts * L, (i + 1) * Ts * L, cap=cap)
+            for i in range(self.N)
+        ]
+        esc_d = jnp.stack([s[0] for s in segs], axis=0)
+        esc_r = jnp.stack([s[1] for s in segs], axis=0)
+        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
+        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
+            words.astype(jnp.int32)
+        )
+        y_stack = jnp.zeros((self.N, B, h, w, self.sc), cond_m.dtype)
+        y_hats, _, _ = self._program(
+            self._stacked, cond_m, cond_s, y_stack,
+            words32, off, esc_d, esc_r, jnp.bool_(False),
+        )
+        return [y_hats[i] for i in range(self.N)]
+
+
 class CzigzagScanWire:
     """Scan-codec driver for czigzag's conditioned zigzag AR chain:
     sliding decoded-slice support plus look-ahead windows of BOTH the

@@ -166,6 +166,59 @@ class _ZigzagScanStep(nn.Module):
         return (cond_m, cond_s, buf, i + 1), (y_hat, lik)
 
 
+class _ZigzagCodeCtx(nn.Module):
+    """Per-step float context of the zigzag/sliding ChARM loop for the
+    CODEC-side scan wire (``scan_codec.ZigzagSwinScanWire``): same
+    submodule names as :class:`_ZigzagScanStep`, so the ``zigzag_scan``
+    stacked subtree from :func:`stack_zigzag_params` applies directly.
+    Always deterministic — the coder never uses drop-path."""
+
+    slice_ch: int
+    cc_widths: Tuple[int, ...]
+    mu_depths: Tuple[int, ...]
+    scale_depths: Tuple[int, ...]
+    lrp_depths: Tuple[int, ...]
+    refine_window: int
+    refine_heads: int
+    drop_path_rate: float
+
+    def setup(self):
+        self.cc_mean = _CCTransform(self.slice_ch, self.cc_widths)
+        self.cc_scale = _CCTransform(self.slice_ch, self.cc_widths)
+        self.lrp = _CCTransform(self.slice_ch, self.cc_widths)
+
+        def refiner(depths):
+            return _Refiner(
+                dim=self.slice_ch,
+                depths=tuple(depths),
+                num_heads=self.refine_heads,
+                window_size=self.refine_window,
+                drop_path_rate=self.drop_path_rate,
+            )
+
+        if self.mu_depths:
+            self.mu_refine = refiner(self.mu_depths)
+        if self.scale_depths:
+            self.sigma_refine = refiner(self.scale_depths)
+        if self.lrp_depths:
+            self.lrp_refine = refiner(self.lrp_depths)
+
+    def context(self, mean_support, scale_support):
+        mu = self.cc_mean(mean_support)
+        if self.mu_depths:
+            mu = self.mu_refine(mu, True)
+        scale = self.cc_scale(scale_support)
+        if self.scale_depths:
+            scale = self.sigma_refine(scale, True)
+        return mu, scale
+
+    def lrp_res(self, lrp_support):
+        r = self.lrp(lrp_support)
+        if self.lrp_depths:
+            r = self.lrp_refine(r, True)
+        return 0.5 * jnp.tanh(r)
+
+
 class ZigzagSwinCodec(CompressionModel):
     # Swin transform config (same defaults as stf)
     embed_dim: int = 48

@@ -183,3 +183,51 @@ def test_zigzag_scan_trains():
     assert np.any(np.asarray(k) != 0)
     rk = jax.tree_util.tree_leaves(scan["mu_refine"])[0]
     assert np.any(np.asarray(rk) != 0)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(
+            num_slices=4, spatial_number=2, support_mode="sliding",
+            max_support=6, mean_mode="window", mean_window=1,
+            mu_refine=(1, 1), scale_refine=(), lrp_refine=(),
+            refine_window=4,
+        ),
+        dict(
+            num_slices=4, spatial_number=1, support_mode="prefix",
+            max_support=2, mean_mode="full", mu_refine=(1,),
+            scale_refine=(1,), lrp_refine=(1,), refine_window=4,
+        ),
+        dict(
+            num_slices=4, spatial_number=2, support_mode="sliding",
+            max_support=4, mean_mode="window", mean_window=8,
+            mu_refine=(1,), scale_refine=(1,), lrp_refine=(1,),
+            refine_window=4,
+        ),
+    ],
+    ids=["stf6like", "stf5like", "stf8like"],
+)
+def test_scan_wire_roundtrip(cfg):
+    """stf5-8 family over the SCAN wire (ZigzagSwinScanWire: whole AR
+    chain incl. the per-slice Swin refiners as one lax.scan shared by
+    both coder sides): bitexact y_hat roundtrip across all support/cond
+    modes."""
+    from icm_tpu.models.device_codec import DeviceWireCodec
+
+    model = ZigzagSwinCodec(**TINY_SWIN, **cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = _init(model, x)
+    scan = DeviceWireCodec(
+        model, variables, lanes_per_image=4, scan_wire=True
+    )
+    enc = scan.compress(x, return_debug=True)
+    dec = scan.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+
+    host = CharmCodec(model, variables, tables=scan.tables)
+    henc = host.compress(x, return_debug=True)
+    d = np.abs(np.asarray(enc["y_hat"]) - np.asarray(henc["y_hat"]))
+    assert np.mean(d > 1e-2) < 0.005, np.mean(d > 1e-2)
