@@ -1229,12 +1229,20 @@ class Stf2Codec:
 
     def __init__(self, model, variables,
                  tables: CodecTables | None = None,
-                 narrow: float = 1.0):
+                 narrow: float = 1.0,
+                 wire: str = "host"):
         self.narrow = narrow  # see codec.enc_round
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
+        _make_kit(self, wire)
         st = jnp.asarray(self.tables.scale_table)
+        if wire == "device":
+            from .scan_codec import Stf2ScanWire
+
+            self._scanw = Stf2ScanWire(
+                model, variables, self.kit, st, narrow=narrow
+            )
         mdl = model
 
         @jax.jit
@@ -1347,19 +1355,28 @@ class Stf2Codec:
         v = self.variables
         y, z = self._analyze(v, x)
         med = self._eb_medians(v)
-        z_sym = np.asarray(
-            jax.device_get(enc_round(z - med, self.narrow).astype(jnp.int32))
-        )
-        z_strings = self._code_z(z_sym, "entropy_bottleneck")
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
-        y_tok, m_win, s_win, lattice = self._token_windows(v, y, z_hat)
-        toks, sym_list, idx_list = self._loop(v, y_tok, m_win, s_win)
-        gt = self.tables.gaussian
-        y_strings = coding.encode_batch(
-            np.concatenate(sym_list, axis=1),
-            np.concatenate(idx_list, axis=1),
-            gt.quantized_cdf, gt.cdf_length, gt.offset,
-        )
+        if self.wire == "device":
+            z_sym_dev = _q_sym(z, med, self.narrow)
+            z_strings = self.kit.encode_z(z_sym_dev, "entropy_bottleneck")
+            z_hat = _dq_sym(z_sym_dev, med)
+            y_tok, m_win, s_win, lattice = self._token_windows(v, y, z_hat)
+            y_strings, toks = self._scanw.encode(v, m_win, s_win, y_tok)
+        else:
+            z_sym = np.asarray(
+                jax.device_get(
+                    enc_round(z - med, self.narrow).astype(jnp.int32)
+                )
+            )
+            z_strings = self._code_z(z_sym, "entropy_bottleneck")
+            z_hat = jnp.asarray(z_sym, jnp.float32) + med
+            y_tok, m_win, s_win, lattice = self._token_windows(v, y, z_hat)
+            toks, sym_list, idx_list = self._loop(v, y_tok, m_win, s_win)
+            gt = self.tables.gaussian
+            y_strings = coding.encode_batch(
+                np.concatenate(sym_list, axis=1),
+                np.concatenate(idx_list, axis=1),
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            )
         out = {
             "strings": [y_strings, z_strings],
             "shape": (int(z.shape[1]), int(z.shape[2])),
@@ -1389,16 +1406,27 @@ class Stf2Codec:
     def _decompress_group(self, strings, shape, out_hw, lattice):
         v = self.variables
         y_strings, z_strings = strings
-        z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
         med = self._eb_medians(v)
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        if self.wire == "device":
+            z_sym = self.kit.decode_z(
+                z_strings, shape[0], shape[1], "entropy_bottleneck"
+            )
+            z_hat = _dq_sym(z_sym, med)
+        else:
+            z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
+            z_hat = jnp.asarray(z_sym, jnp.float32) + med
         # decoder-side windows: y unknown — token_windows only needs y for
         # y_tok; pass zeros of the right latent shape
         B = z_hat.shape[0]
         H, W = out_hw
         y_zero = jnp.zeros((B, H, W, self.model.latent_dim), jnp.float32)
         _, m_win, s_win, _ = self._token_windows(v, y_zero, z_hat)
-        decoder = coding.BatchRansDecoder(y_strings)
-        toks, _, _ = self._loop(v, None, m_win, s_win, decoder=decoder)
+        if self.wire == "device":
+            toks = self._scanw.decode(
+                y_strings, v, m_win, s_win, int(m_win.shape[1])
+            )
+        else:
+            decoder = coding.BatchRansDecoder(y_strings)
+            toks, _, _ = self._loop(v, None, m_win, s_win, decoder=decoder)
         y_hat, x_hat = self._assemble_synthesize(v, toks, lattice, out_hw)
         return {"x_hat": x_hat, "y_hat": y_hat}

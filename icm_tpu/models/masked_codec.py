@@ -43,9 +43,18 @@ from .codec import build_codec_tables
 
 class Stf3Codec:
     """compress()/decompress() for ClipEncoder3/ClipEncoder4 models
-    (``causal=True``); strings = [y_strings, z_strings]."""
+    (``causal=True``); strings = [y_strings, z_strings].
 
-    def __init__(self, model, variables, tables: CodecTables | None = None):
+    ``wire='device'`` moves the entropy coding onto the accelerator
+    (DeviceWireKit lanes): encode stays the one-shot full causal pass
+    (symbols already parallel), decode runs the whole token-AR chain —
+    causal context pass, scale bucketing, lane rANS pull, token
+    placement — as ONE ``lax.scan`` program with lane = (image,
+    token-dim) and serial depth = token count, i.e. zero intermediate
+    link round-trips (the host wire pays one per token)."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None,
+                 wire: str = "host"):
         from .masked_ctx import ClipEncoder3
 
         # stf3's reference block mask is causal (hyper rows see hyper
@@ -64,6 +73,9 @@ class Stf3Codec:
         self.model = model
         self.variables = variables
         self.tables = tables or build_codec_tables(model, variables)
+        if wire not in ("host", "device"):
+            raise ValueError(f"wire must be 'host' or 'device', got {wire!r}")
+        self.wire = wire
         st = jnp.asarray(self.tables.scale_table)
         mdl = model
 
@@ -124,6 +136,69 @@ class Stf3Codec:
         self._place_token = place_token
         self._reconstruct = reconstruct
 
+        if wire == "device":
+            from ..coding.device_rans import (
+                decode_lanes,
+                fix_escapes,
+                init_lanes,
+            )
+            from .device_codec import DeviceWireKit
+
+            self.kit = DeviceWireKit(self.tables)
+            gdev = self.kit.gauss_dev
+
+            @jax.jit
+            def lane_layout(sym, index):
+                """(B, N, D) token-major -> (N, B*D) step-major lanes."""
+                B, N, D = sym.shape
+                return (
+                    jnp.moveaxis(sym, 1, 0).reshape(N, B * D),
+                    jnp.moveaxis(index.astype(jnp.int32), 1, 0).reshape(
+                        N, B * D
+                    ),
+                )
+
+            @jax.jit
+            def z_symbols(v, z):
+                med = mdl.apply(v, method=mdl.eb_medians)
+                return jnp.round(z - med).astype(jnp.int32)
+
+            @jax.jit
+            def wire_init(words, off):
+                return init_lanes(words, off)
+
+            @jax.jit
+            def wire_step(sym_all, index_all, y_buf, i,
+                          words, off, st, pt, ed, er):
+                """One decode step against full_context's outputs on the
+                CURRENT prefix buffer. Row i of the buffer is zero, so
+                full_context's ``sym = y_buf - round(mu)`` gives
+                ``round(mu_i) = -sym_all[:, i]`` — the decoder consumes
+                the encoder's EXACT executable (not a re-jitted twin),
+                which is what makes the AR context bit-identical."""
+                B, N, D = sym_all.shape
+                idx_i = jax.lax.dynamic_slice_in_dim(
+                    index_all, i, 1, axis=1
+                )[:, 0]
+                rows = idx_i.astype(jnp.int32).reshape(1, B * D)
+                vals, st, pt = decode_lanes(
+                    words, off, rows, gdev, state=st, ptr=pt
+                )
+                vals = fix_escapes(vals, ed, er)
+                mu_int = -jax.lax.dynamic_slice_in_dim(
+                    sym_all, i, 1, axis=1
+                )[:, 0].astype(jnp.float32)
+                tok = vals.reshape(B, D).astype(jnp.float32) + mu_int
+                y_buf = jax.lax.dynamic_update_slice_in_dim(
+                    y_buf, tok[:, None], i, axis=1
+                )
+                return y_buf, st, pt
+
+            self._lane_layout = lane_layout
+            self._z_symbols_dev = z_symbols
+            self._wire_init = wire_init
+            self._wire_step = wire_step
+
     # --- z (factorized bottleneck), one stream per image --------------------
     def _z_tables(self):
         return self.tables.bottlenecks["entropy_bottleneck"]
@@ -157,24 +232,39 @@ class Stf3Codec:
         v = self.variables
         y, z = self._analyze(v, x)
         med = self._eb_medians(v)
-        z_sym = np.asarray(
-            jax.device_get(jnp.round(z - med).astype(jnp.int32))
-        )
-        z_strings = self._encode_z(z_sym)
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        if self.wire == "device":
+            z_sym_dev = self._z_symbols_dev(v, z)
+            z_strings = self.kit.encode_z(z_sym_dev, "entropy_bottleneck")
+            z_hat = z_sym_dev.astype(jnp.float32) + med
+        else:
+            z_sym = np.asarray(
+                jax.device_get(jnp.round(z - med).astype(jnp.int32))
+            )
+            z_strings = self._encode_z(z_sym)
+            z_hat = jnp.asarray(z_sym, jnp.float32) + med
 
         y_tok, m_tok, s_tok, means, scales, lattice, out_hw = (
             self._coder_tokens(v, y, z_hat)
         )
         sym, index = self._full_context(v, m_tok, s_tok, y_tok)
-        sym_h = np.asarray(jax.device_get(sym))
-        idx_h = np.asarray(jax.device_get(index))
-        B = sym_h.shape[0]
-        gt = self.tables.gaussian
-        y_strings = coding.encode_batch(
-            sym_h.reshape(B, -1), idx_h.reshape(B, -1),
-            gt.quantized_cdf, gt.cdf_length, gt.offset,
-        )
+        if self.wire == "device":
+            from .device_codec import _pack_wire
+
+            vals_T, rows_T = self._lane_layout(sym, index)
+            enc = self.kit._encode_y(vals_T, rows_T)
+            y_strings = [
+                _pack_wire(*p)
+                for p in self.kit.fetch_encoded(enc, sym.shape[0])
+            ]
+        else:
+            sym_h = np.asarray(jax.device_get(sym))
+            idx_h = np.asarray(jax.device_get(index))
+            B = sym_h.shape[0]
+            gt = self.tables.gaussian
+            y_strings = coding.encode_batch(
+                sym_h.reshape(B, -1), idx_h.reshape(B, -1),
+                gt.quantized_cdf, gt.cdf_length, gt.offset,
+            )
         out = {
             "strings": [y_strings, z_strings],
             "shape": (int(z.shape[1]), int(z.shape[2])),
@@ -192,7 +282,14 @@ class Stf3Codec:
     def decompress(self, strings, shape) -> Dict[str, Any]:
         v = self.variables
         y_strings, z_strings = strings
-        z_hat = self._decode_z(z_strings, shape)
+        if self.wire == "device":
+            med = self._eb_medians(v)
+            z_sym = self.kit.decode_z(
+                z_strings, shape[0], shape[1], "entropy_bottleneck"
+            )
+            z_hat = z_sym.astype(jnp.float32) + med
+        else:
+            z_hat = self._decode_z(z_strings, shape)
         # token geometry from a zero latent of the right shape
         ph, pw = shape[0] * 4, shape[1] * 4  # hyper downsamples latent by 4
         zero_y = jnp.zeros(
@@ -202,19 +299,26 @@ class Stf3Codec:
             self._coder_tokens(v, zero_y, z_hat)
         )
         B, N, D = y_tok.shape
-        gt = self.tables.gaussian
-        lut = gt.symbol_lut()
-        decoder = coding.BatchRansDecoder(y_strings)
 
-        y_buf = jnp.zeros((B, N, D), jnp.float32)
-        for i in range(N):
-            mu_int, index = self._step_context(v, m_tok, s_tok, y_buf, i)
-            idx_np = np.asarray(jax.device_get(index)).reshape(B, -1)
-            sym = decoder.decode_stream(
-                idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset, lut=lut
-            )
-            tok = jnp.asarray(sym.reshape(B, D), jnp.float32) + mu_int
-            y_buf = self._place_token(y_buf, tok, i)
+        if self.wire == "device":
+            y_buf = self._decompress_device(y_strings, m_tok, s_tok, B, N, D)
+        else:
+            gt = self.tables.gaussian
+            lut = gt.symbol_lut()
+            decoder = coding.BatchRansDecoder(y_strings)
+
+            y_buf = jnp.zeros((B, N, D), jnp.float32)
+            for i in range(N):
+                mu_int, index = self._step_context(
+                    v, m_tok, s_tok, y_buf, i
+                )
+                idx_np = np.asarray(jax.device_get(index)).reshape(B, -1)
+                sym = decoder.decode_stream(
+                    idx_np, gt.quantized_cdf, gt.cdf_length, gt.offset,
+                    lut=lut,
+                )
+                tok = jnp.asarray(sym.reshape(B, D), jnp.float32) + mu_int
+                y_buf = self._place_token(y_buf, tok, i)
 
         y_hat, x_hat = self._reconstruct(
             v, y_buf, means, scales,
@@ -222,6 +326,36 @@ class Stf3Codec:
             tuple(int(d) for d in out_hw),
         )
         return {"x_hat": x_hat, "y_hat": y_hat}
+
+    def _decompress_device(self, y_strings, m_tok, s_tok, B, N, D):
+        """Token-AR decode over the device wire: one bitstream upload,
+        then N async device dispatches (the shared full causal pass +
+        one lane-rANS pull each) with ZERO intermediate link
+        round-trips — the host wire pays one per token."""
+        kit = self.kit
+        v = self.variables
+        words, off, dest, raw = kit.upload_words(y_strings)
+        L = B * D
+        cap = kit.esc_cap(dest, N, L)
+        segs = [
+            kit.esc_segment(dest, raw, i * L, (i + 1) * L, cap=cap)
+            for i in range(N)
+        ]
+        bucket = 1 << 16  # same word bucketing as the scan wires
+        pad = ((max(int(words.shape[0]), 1) + bucket - 1) // bucket) * bucket
+        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
+            words.astype(jnp.int32)
+        )
+        st, pt = self._wire_init(words32, off)
+        y_buf = jnp.zeros((B, N, D), jnp.float32)
+        for i in range(N):
+            sym_all, index_all = self._full_context(v, m_tok, s_tok, y_buf)
+            ed, er = segs[i]
+            y_buf, st, pt = self._wire_step(
+                sym_all, index_all, y_buf, jnp.int32(i),
+                words32, off, st, pt, ed, er,
+            )
+        return y_buf
 
 
 # ClipEncoder4 exposes the identical coder-facing protocol

@@ -773,6 +773,33 @@ class ClipEncoder(_MaskedBase):
         scale = self.cc_scale_head(to_spatial(ctx_sigma))
         return mu, scale, to_spatial(ctx_mu)
 
+    def token_context_traced(self, m_win_i, s_win_i, prev, is_first):
+        """:meth:`token_context` with a TRACED first-step flag, for the
+        codec scan wire (the whole token loop is one ``lax.scan``; step
+        0 differs only in the context concat order, stf2.py:1085-1089
+        vs 1131-1133, so a where-select keeps one program)."""
+        B = m_win_i.shape[0]
+        ws = self.mask_win_size
+        Cp = self.slice_ch
+
+        def to_spatial(tokens):
+            k = tokens.shape[1]
+            h = tokens.reshape(B, k, Cp, ws, ws)
+            return h.transpose(0, 3, 4, 1, 2).reshape(B, ws, ws, k * Cp)
+
+        def pick(a, b):
+            return jnp.where(is_first,
+                             jnp.concatenate([a, b], axis=1),
+                             jnp.concatenate([b, a], axis=1))
+
+        mu_in = pick(prev, m_win_i)
+        sigma_in = pick(prev, s_win_i)
+        ctx_mu = self.mu_ctx(mu_in)
+        ctx_sigma = self.sigma_ctx(sigma_in)
+        mu = self.cc_mean_head(to_spatial(ctx_mu))
+        scale = self.cc_scale_head(to_spatial(ctx_sigma))
+        return mu, scale, to_spatial(ctx_mu)
+
     def token_lrp(self, ctx_mu_spatial, y_hat_token):
         lrp = self.lrp_head(
             jnp.concatenate([ctx_mu_spatial, y_hat_token], axis=-1)

@@ -407,6 +407,141 @@ class ZigzagSwinScanWire:
         return [y_hats[i] for i in range(self.N)]
 
 
+class Stf2ScanWire:
+    """Scan-codec driver for stf2's windowed-token AR loop: the shared
+    attention context (``token_context_traced``), scale bucketing, lane
+    rANS, and LRP run as ONE ``lax.scan`` executed verbatim by both
+    coder sides. Unlike stf3/4 (one-shot teacher-forced encode), stf2's
+    encoder already iterates the same per-token step as its decoder, so
+    the shared-program invariant costs encode nothing. Lane = (image,
+    window position); serial depth = token count."""
+
+    def __init__(self, model, variables, kit, scale_table_dev,
+                 narrow: float = 1.0):
+        self.kit = kit
+        self.model = model
+        ws = int(model.mask_win_size)
+        Cp = int(model.slice_ch)
+        s = int(model.num_sliding)
+        self.D = ws * ws * Cp
+        gdev = kit.gauss_dev
+        mdl = model
+
+        @jax.jit
+        def program(v, m_win, s_win, y_tok, words, off,
+                    esc_d, esc_r, is_enc):
+            B, N, D = y_tok.shape
+            L = B * D
+            state0, ptr0 = init_lanes(words, off)
+            prev0 = jnp.zeros((B, s, D), m_win.dtype)
+            xs = (
+                jnp.moveaxis(m_win, 1, 0),
+                jnp.moveaxis(s_win, 1, 0),
+                jnp.moveaxis(y_tok, 1, 0),
+                esc_d,
+                esc_r,
+            )
+
+            def step(carry, xs):
+                prev, st, pt, i = carry
+                m_i, s_i, y_i, ed, er = xs
+                mu, scale, ctx_sp = mdl.apply(
+                    v, m_i, s_i, prev, i == 0,
+                    method=mdl.token_context_traced,
+                )
+                index = build_indexes(scale, scale_table_dev)
+                rows = index.reshape(1, L)
+
+                def enc_fn(op):
+                    st, pt = op
+                    y_slice = y_i.reshape(B, Cp, ws, ws).transpose(
+                        0, 2, 3, 1
+                    )
+                    sym = enc_round(y_slice - mu, narrow).astype(jnp.int32)
+                    return sym, st, pt
+
+                def dec_fn(op):
+                    st, pt = op
+                    vals, st2, pt2 = decode_lanes(
+                        words, off, rows, gdev, state=st, ptr=pt
+                    )
+                    vals = fix_escapes(vals, ed, er)
+                    return vals.reshape(B, ws, ws, Cp), st2, pt2
+
+                sym, st, pt = jax.lax.cond(is_enc, enc_fn, dec_fn, (st, pt))
+                y_hat = sym.astype(mu.dtype) + mu
+                y_hat = y_hat + mdl.apply(
+                    v, ctx_sp, y_hat, method=mdl.token_lrp
+                )
+                tok = y_hat.transpose(0, 3, 1, 2).reshape(B, D)
+                prev = jnp.concatenate([prev[:, 1:], tok[:, None]], axis=1)
+                return (prev, st, pt, i + 1), (
+                    tok, sym, index.astype(jnp.uint8)
+                )
+
+            (_, st, pt, _), (toks, syms, idxs) = jax.lax.scan(
+                step, (prev0, state0, ptr0, jnp.int32(0)), xs
+            )
+            return toks, syms, idxs
+
+        @jax.jit
+        def lane_layout(syms, idxs):
+            N, B = syms.shape[0], syms.shape[1]
+            return (
+                syms.reshape(N, -1),
+                idxs.astype(jnp.int32).reshape(N, -1),
+            )
+
+        self._program = program
+        self._lane_layout = lane_layout
+
+    def _dummy_stream(self, L: int, N: int, cap: int = 64):
+        words = jnp.zeros((_WORD_BUCKET,), jnp.int32)
+        off = jnp.zeros((L,), jnp.int32)
+        d = jnp.zeros((N, cap), jnp.int32)
+        r = jnp.zeros((N, cap), jnp.int32)
+        return words, off, d, r
+
+    def encode(self, variables, m_win, s_win, y_tok):
+        """-> (wire blobs per image, token list for assembly)."""
+        B, N, D = y_tok.shape
+        words, off, d, r = self._dummy_stream(B * D, N)
+        toks, syms, idxs = self._program(
+            variables, m_win, s_win, y_tok,
+            words, off, d, r, jnp.bool_(True),
+        )
+        vals_T, rows_T = self._lane_layout(syms, idxs)
+        enc = self.kit._encode_y(vals_T, rows_T)
+        from .device_codec import _pack_wire
+
+        blobs = [_pack_wire(*p) for p in self.kit.fetch_encoded(enc, B)]
+        return blobs, [toks[i] for i in range(N)]
+
+    def decode(self, blobs: List[bytes], variables, m_win, s_win, N: int):
+        kit = self.kit
+        B = len(blobs)
+        D = self.D
+        L = B * D
+        words, off, dest, raw = kit.upload_words(blobs)
+        cap = kit.esc_cap(dest, N, L)
+        segs = [
+            kit.esc_segment(dest, raw, i * L, (i + 1) * L, cap=cap)
+            for i in range(N)
+        ]
+        esc_d = jnp.stack([s[0] for s in segs], axis=0)
+        esc_r = jnp.stack([s[1] for s in segs], axis=0)
+        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
+        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
+            words.astype(jnp.int32)
+        )
+        y_tok = jnp.zeros((B, N, D), m_win.dtype)
+        toks, _, _ = self._program(
+            variables, m_win, s_win, y_tok,
+            words32, off, esc_d, esc_r, jnp.bool_(False),
+        )
+        return [toks[i] for i in range(N)]
+
+
 class CzigzagScanWire:
     """Scan-codec driver for czigzag's conditioned zigzag AR chain:
     sliding decoded-slice support plus look-ahead windows of BOTH the

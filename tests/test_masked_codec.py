@@ -76,3 +76,39 @@ def test_stf3_causal_forward_matches_noncausal_shape():
     out = model.apply(v, x, training=False)
     assert out["x_hat"].shape == x.shape
     assert np.isfinite(np.asarray(out["likelihoods"]["y"])).all()
+
+
+@pytest.mark.parametrize("model_cls", [ClipEncoder3, ClipEncoder4])
+def test_token_ar_device_wire_roundtrip(model_cls):
+    """stf3/stf4 over the on-device wire: encode is the one-shot causal
+    pass into lane rANS (lane = image x token-dim); decode is ONE scan
+    program with zero intermediate round-trips. y_hat must match the
+    encoder's reconstruction bitexactly, and the device wire must agree
+    with the host wire (same symbols, different transport)."""
+    model = model_cls(**TINY)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32
+    )
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        x,
+    )
+    cls = Stf3Codec if model_cls is ClipEncoder3 else Stf4Codec
+    dev = cls(model, variables, wire="device")
+    enc = dev.compress(x, return_debug=True)
+    dec = dev.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(enc["y_hat"]), np.asarray(dec["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(enc["x_hat"]), np.asarray(dec["x_hat"])
+    )
+
+    host = cls(model, variables, tables=dev.tables)
+    hdec = host.decompress(
+        host.compress(x)["strings"], enc["shape"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hdec["y_hat"]), np.asarray(dec["y_hat"])
+    )

@@ -301,3 +301,27 @@ def test_czigzag_codec_scan_wire_roundtrip():
     d = np.abs(np.asarray(enc["y_hat"]) - np.asarray(henc["y_hat"]))
     assert np.mean(d > 1e-2) < 0.005, np.mean(d > 1e-2)
     assert np.median(d) < 1e-4
+
+
+def test_stf2_codec_device_wire_roundtrip():
+    """stf2 over the SCAN device wire (Stf2ScanWire: the whole windowed-
+    token AR loop — shared attention context, lane rANS, LRP — as one
+    lax.scan executed verbatim by both coder sides): bitexact y_hat."""
+    from icm_tpu.models.crc_codec import Stf2Codec
+
+    m = create_model(
+        "stf2", **TINY_SWIN, num_slices=2, mask_win_size=2, num_sliding=3
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    v = _init(m, x)
+    dev = Stf2Codec(m, v, wire="device")
+    enc = dev.compress(x, return_debug=True)
+    dec = dev.decompress(
+        enc["strings"], enc["shape"], enc["out_hw"], enc["lattice"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["x_hat"]), np.clip(np.asarray(enc["x_hat"]), 0, 1)
+    )

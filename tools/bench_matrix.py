@@ -121,6 +121,8 @@ def bench_family(
                     wire_kw = {"wire": wire, "scan_wire": scan_wire}
                 elif kind == "charm" and wire == "device":
                     wire_kw = {"scan_wire": scan_wire}
+                elif kind == "stf2":
+                    wire_kw = {"wire": wire}
                 else:
                     wire_kw = {}
                 codec = type(codec)(

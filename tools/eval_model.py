@@ -186,12 +186,13 @@ def build_codec(name, model, variables, wire: str = "host",
     """Codec driver for a registry name (None if the model has none).
 
     ``wire='device'`` selects on-device entropy coding (DeviceWireKit)
-    for every charm-protocol family; the token-AR coders (stf2/stf3/
-    stf4) have no device wire and raise. ``scan_wire=True`` (CRC-family
-    kinds only, requires wire='device') compiles each AR layer as ONE
-    lax.scan program (models/scan_codec.py) instead of per-slice
-    programs — the warm-up cost drops from ctx_slices compiles per
-    direction to one."""
+    for EVERY codable family — slice-AR codecs ride the lane rANS
+    per-slice, stf2 rides its one-program scan wire, stf3/stf4 decode
+    against the encoder's exact full-context executable with zero
+    intermediate round-trips. ``scan_wire=True`` (slice-AR kinds,
+    requires wire='device') compiles each AR layer as ONE lax.scan
+    program (models/scan_codec.py) instead of per-slice programs — the
+    warm-up cost drops from ctx_slices compiles per direction to one."""
     model, variables = descan_for_codec(model, variables)
     kind = CODEC_KINDS.get(name, "charm")
     if scan_wire and kind not in ("crc", "crc3", "segoj", "charm",
@@ -215,15 +216,11 @@ def build_codec(name, model, variables, wire: str = "host",
     if kind == "stf2":
         from icm_tpu.models.crc_codec import Stf2Codec
 
-        if wire == "device":
-            raise ValueError(f"{name}: token-AR coder has no device wire")
-        return Stf2Codec(model, variables), kind
+        return Stf2Codec(model, variables, wire=wire), kind
     if kind == "masked":
         from icm_tpu.models import Stf3Codec
 
-        if wire == "device":
-            raise ValueError(f"{name}: token-AR coder has no device wire")
-        return Stf3Codec(model, variables), kind
+        return Stf3Codec(model, variables, wire=wire), kind
     if kind == "czigzag":
         from icm_tpu.models.crc_codec import CzigzagCodec
 
