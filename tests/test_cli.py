@@ -416,3 +416,23 @@ def test_eval_cli_image_czigzag_pair_dir(image_root):
         ]
     )
     assert res["bpp"] > 0 and res["enc_time"] > 0 and res["dec_time"] > 0
+
+
+def test_eval_cli_image_mode_scan_wire(image_root, capsys):
+    """image mode over the TPU-native wire: --scan-wire routes the cnn
+    codec through DeviceWireCodec(scan_wire=True) end-to-end."""
+    sys.path.insert(0, os.getcwd())
+    from tools.eval_model import main
+
+    agg = main(
+        [
+            "image",
+            "-d", image_root,
+            "--split", "test",
+            "-m", "cnn",
+            "--model-kwargs", TINY_CNN,
+            "--max-images", "1",
+            "--scan-wire",
+        ]
+    )
+    assert agg["bpp"] > 0 and np.isfinite(agg["psnr"])

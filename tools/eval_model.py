@@ -79,7 +79,21 @@ def parse_args(argv=None):
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--model-kwargs", default=None)
     p.add_argument("--seed", type=int, default=0)
-    return p.parse_args(argv)
+    p.add_argument(
+        "--wire", choices=("host", "device"), default="host",
+        help="entropy-coding transport: host = reference-interoperable "
+        "coder; device = the TPU-native on-device lane rANS "
+        "(DeviceWireKit; supported by every codable family)",
+    )
+    p.add_argument(
+        "--scan-wire", action="store_true",
+        help="slice-AR families: one-lax.scan AR codec "
+        "(models/scan_codec.py); implies --wire device",
+    )
+    args = p.parse_args(argv)
+    if args.scan_wire:
+        args.wire = "device"
+    return args
 
 
 def resolve_model_kwargs(args) -> dict:
@@ -301,7 +315,9 @@ def eval_image(args):
     kind = CODEC_KINDS.get(args.model, "charm")
     if not args.entropy_estimation:
         try:
-            codec, kind = build_codec(args.model, model, variables)
+            codec, kind = build_codec(args.model, model, variables,
+                                  wire=args.wire,
+                                  scan_wire=args.scan_wire)
         except Exception as e:  # models without a coder path
             print(f"real coder unavailable for {args.model} ({e}); "
                   "falling back to entropy estimation")
@@ -375,7 +391,9 @@ def eval_detection(args):
     codec = kind = None
     total_bits = total_pixels = 0
     if args.real_coder:
-        codec, kind = build_codec(args.model, model, variables)
+        codec, kind = build_codec(args.model, model, variables,
+                                  wire=args.wire,
+                                  scan_wire=args.scan_wire)
 
         def student_detect(v, x_hat):
             return model.apply(
@@ -479,7 +497,9 @@ def eval_segmentation(args):
     codec = kind = None
     total_bits = total_pixels = 0
     if args.real_coder:
-        codec, kind = build_codec(args.model, model, variables)
+        codec, kind = build_codec(args.model, model, variables,
+                                  wire=args.wire,
+                                  scan_wire=args.scan_wire)
 
         def student_seg(v, x_hat):
             return model.apply(
