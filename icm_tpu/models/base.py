@@ -146,3 +146,20 @@ def sliding_support(max_support: int):
         return decoded if max_support > i else decoded[i - max_support :]
 
     return fn
+
+
+def fetch_params(tree):
+    """One batched host fetch of a parameter subtree.
+
+    The stack/unstack param-migration helpers (zigzag_coder.py, cnn.py,
+    stf_family.py) do their reshaping in numpy; calling ``np.asarray``
+    leaf-by-leaf on device arrays pays one *serial* device->host round
+    trip per parameter, which on a remote-TPU link dominates codec
+    construction (measured 184-212 s per ZigzagScanWire for stf13 —
+    NOTES_ROUND4.md). ``jax.device_get`` issues async copies for every
+    leaf before blocking, so the link round trip is paid once for the
+    whole subtree. Host-resident trees pass through unchanged.
+    """
+    import jax
+
+    return jax.device_get(tree)

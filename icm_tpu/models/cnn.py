@@ -306,7 +306,13 @@ def stack_charm_params(
     zero-initialized support slots, so outputs are exactly equal."""
     import numpy as np
 
+    from .base import fetch_params
+
     sup_w_max = max_support * slice_ch
+    params = fetch_params(
+        {k: v for k, v in params.items()
+         if k.rsplit("_", 1)[0] in ("cc_mean", "cc_scale", "lrp")}
+    )
     out = {}
     for tag in ("cc_mean", "cc_scale", "lrp"):
         layers: dict = {}
@@ -351,7 +357,9 @@ def unstack_charm_params(
     scan-trained checkpoints drive the real-bitstream coder."""
     import numpy as np
 
-    sub = stacked["charm_scan"]
+    from .base import fetch_params
+
+    sub = fetch_params(stacked["charm_scan"])
     out: dict = {}
     for tag in ("cc_mean", "cc_scale", "lrp"):
         for i in range(num_slices):

@@ -411,12 +411,18 @@ def stack_czigzag_params(params: dict, model: "conditionalZigzag") -> dict:
     the scan's fixed support width: input sections are
     [cond window | decoded support (k->max, right-aligned) | hctx window
     (+ y_hat for lrp)]."""
+    from .base import fetch_params
+
     n, sc, cond_w, max_sup = _czigzag_dims(model)
+    per_slice = fetch_params(
+        {k: v for k, v in params.items()
+         if k.rsplit("_", 1)[0] in ("cc_mean", "cc_scale", "lrp")}
+    )
 
     def group(tag: str, lrp: bool = False):
         outs = []
         for i in range(n):
-            tree = params[f"{tag}_{i}"]
+            tree = per_slice[f"{tag}_{i}"]
             k = min(i, max_sup)
             kern = np.asarray(tree["Conv_0"]["kernel"])
             kh, kw, _, cout = kern.shape
@@ -444,7 +450,7 @@ def stack_czigzag_params(params: dict, model: "conditionalZigzag") -> dict:
                 }
             )
         return jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *outs
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *outs
         )
 
     scan = {
@@ -465,7 +471,12 @@ def unstack_czigzag_params(
 ) -> dict:
     """Inverse of stack_czigzag_params (drops the zero padding, which
     carries no information)."""
+    from .base import fetch_params
+
     n, sc, cond_w, max_sup = _czigzag_dims(model)
+    scan_params = fetch_params(
+        {k: scan_params[k] for k in ("cc_mean", "cc_scale", "lrp")}
+    )
     out = {}
     for tag in ("cc_mean", "cc_scale", "lrp"):
         stacked = scan_params[tag]

@@ -332,28 +332,18 @@ class Stf3Codec:
         then N async device dispatches (the shared full causal pass +
         one lane-rANS pull each) with ZERO intermediate link
         round-trips — the host wire pays one per token."""
+        from .scan_codec import _wire_inputs
+
         kit = self.kit
         v = self.variables
-        words, off, dest, raw = kit.upload_words(y_strings)
-        L = B * D
-        cap = kit.esc_cap(dest, N, L)
-        segs = [
-            kit.esc_segment(dest, raw, i * L, (i + 1) * L, cap=cap)
-            for i in range(N)
-        ]
-        bucket = 1 << 16  # same word bucketing as the scan wires
-        pad = ((max(int(words.shape[0]), 1) + bucket - 1) // bucket) * bucket
-        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
-            words.astype(jnp.int32)
-        )
+        words32, off, esc_d, esc_r = _wire_inputs(kit, y_strings, N, B * D)
         st, pt = self._wire_init(words32, off)
         y_buf = jnp.zeros((B, N, D), jnp.float32)
         for i in range(N):
             sym_all, index_all = self._full_context(v, m_tok, s_tok, y_buf)
-            ed, er = segs[i]
             y_buf, st, pt = self._wire_step(
                 sym_all, index_all, y_buf, jnp.int32(i),
-                words32, off, st, pt, ed, er,
+                words32, off, st, pt, esc_d[i], esc_r[i],
             )
         return y_buf
 

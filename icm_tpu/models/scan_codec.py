@@ -66,6 +66,29 @@ def _round_up(n: int, q: int) -> int:
     return ((max(n, 1) + q - 1) // q) * q
 
 
+def _wire_inputs(kit, blobs, n_segs: int, seg_size: int):
+    """Shared decode-side wire prep: upload the per-image wires, split
+    the escape side channel into ``n_segs`` equal segments of
+    ``seg_size`` symbols (one shared pad cap — a per-segment cap would
+    be a shape in the jitted program's signature and recompile per
+    slice), and bucket-pad the word array to ``_WORD_BUCKET`` so only
+    word-count buckets, never exact lengths, appear in program
+    signatures. -> (words32, off, esc_d, esc_r)."""
+    words, off, dest, raw = kit.upload_words(blobs)
+    cap = kit.esc_cap(dest, n_segs, seg_size)
+    segs = [
+        kit.esc_segment(dest, raw, i * seg_size, (i + 1) * seg_size, cap=cap)
+        for i in range(n_segs)
+    ]
+    esc_d = jnp.stack([s[0] for s in segs], axis=0)
+    esc_r = jnp.stack([s[1] for s in segs], axis=0)
+    pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
+    words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
+        words.astype(jnp.int32)
+    )
+    return words32, off, esc_d, esc_r
+
+
 class ZigzagScanWire:
     """Scan-codec driver for one ``ZigzagCharmCoder`` layer.
 
@@ -209,21 +232,8 @@ class ZigzagScanWire:
         scales = jnp.stack(state["scales"], axis=0)
         N_, B, h, w, sc = means.shape
         kit = self.kit
-        words, off, dest, raw = kit.upload_words(blobs)
-        n_l = kit.n_lanes(h, w)
-        L = B * n_l
-        Ts = ((h * w) // n_l) * sc
-        cap = kit.esc_cap(dest, self.N, Ts * L)
-        segs = [
-            kit.esc_segment(dest, raw, i * Ts * L, (i + 1) * Ts * L, cap=cap)
-            for i in range(self.N)
-        ]
-        esc_d = jnp.stack([s[0] for s in segs], axis=0)
-        esc_r = jnp.stack([s[1] for s in segs], axis=0)
-        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
-        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
-            words.astype(jnp.int32)
-        )
+        seg = ((h * w) // kit.n_lanes(h, w)) * sc * B * kit.n_lanes(h, w)
+        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, self.N, seg)
         y_stack = jnp.zeros((self.N, B, h, w, sc), means.dtype)
         y_hats, _, _ = self._program(
             self._stacked, means, scales, y_stack,
@@ -384,21 +394,11 @@ class ZigzagSwinScanWire:
         else:
             B, h, w = cond_m.shape[1], cond_m.shape[2], cond_m.shape[3]
         kit = self.kit
-        words, off, dest, raw = kit.upload_words(blobs)
-        n_l = kit.n_lanes(h, w)
-        L = B * n_l
-        Ts = ((h * w) // n_l) * self.sc
-        cap = kit.esc_cap(dest, self.N, Ts * L)
-        segs = [
-            kit.esc_segment(dest, raw, i * Ts * L, (i + 1) * Ts * L, cap=cap)
-            for i in range(self.N)
-        ]
-        esc_d = jnp.stack([s[0] for s in segs], axis=0)
-        esc_r = jnp.stack([s[1] for s in segs], axis=0)
-        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
-        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
-            words.astype(jnp.int32)
+        seg = (
+            ((h * w) // kit.n_lanes(h, w)) * self.sc
+            * B * kit.n_lanes(h, w)
         )
+        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, self.N, seg)
         y_stack = jnp.zeros((self.N, B, h, w, self.sc), cond_m.dtype)
         y_hats, _, _ = self._program(
             self._stacked, cond_m, cond_s, y_stack,
@@ -521,19 +521,7 @@ class Stf2ScanWire:
         kit = self.kit
         B = len(blobs)
         D = self.D
-        L = B * D
-        words, off, dest, raw = kit.upload_words(blobs)
-        cap = kit.esc_cap(dest, N, L)
-        segs = [
-            kit.esc_segment(dest, raw, i * L, (i + 1) * L, cap=cap)
-            for i in range(N)
-        ]
-        esc_d = jnp.stack([s[0] for s in segs], axis=0)
-        esc_r = jnp.stack([s[1] for s in segs], axis=0)
-        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
-        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
-            words.astype(jnp.int32)
-        )
+        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, N, B * D)
         y_tok = jnp.zeros((B, N, D), m_win.dtype)
         toks, _, _ = self._program(
             variables, m_win, s_win, y_tok,
@@ -659,21 +647,8 @@ class CzigzagScanWire:
         hctx = jnp.stack(state["hctx"], axis=0)
         N_, B, h, w, sc = means.shape
         kit = self.kit
-        words, off, dest, raw = kit.upload_words(blobs)
-        n_l = kit.n_lanes(h, w)
-        L = B * n_l
-        Ts = ((h * w) // n_l) * sc
-        cap = kit.esc_cap(dest, self.N, Ts * L)
-        segs = [
-            kit.esc_segment(dest, raw, i * Ts * L, (i + 1) * Ts * L, cap=cap)
-            for i in range(self.N)
-        ]
-        esc_d = jnp.stack([s[0] for s in segs], axis=0)
-        esc_r = jnp.stack([s[1] for s in segs], axis=0)
-        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
-        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
-            words.astype(jnp.int32)
-        )
+        seg = ((h * w) // kit.n_lanes(h, w)) * sc * B * kit.n_lanes(h, w)
+        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, self.N, seg)
         y_stack = jnp.zeros((self.N, B, h, w, sc), means.dtype)
         y_hats, _, _ = self._program(
             self._stacked, means, scales, hctx, y_stack,
@@ -815,21 +790,11 @@ class CharmScanWire:
         kit = self.kit
         B = len(blobs)
         h, w = state["means"].shape[1], state["means"].shape[2]
-        words, off, dest, raw = kit.upload_words(blobs)
-        n_l = kit.n_lanes(h, w)
-        L = B * n_l
-        Ts = ((h * w) // n_l) * self.sc
-        cap = kit.esc_cap(dest, self.N, Ts * L)
-        segs = [
-            kit.esc_segment(dest, raw, i * Ts * L, (i + 1) * Ts * L, cap=cap)
-            for i in range(self.N)
-        ]
-        esc_d = jnp.stack([s[0] for s in segs], axis=0)
-        esc_r = jnp.stack([s[1] for s in segs], axis=0)
-        pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
-        words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
-            words.astype(jnp.int32)
+        seg = (
+            ((h * w) // kit.n_lanes(h, w)) * self.sc
+            * B * kit.n_lanes(h, w)
         )
+        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, self.N, seg)
         y_stack = jnp.zeros(
             (self.N, B, h, w, self.sc), state["means"].dtype
         )

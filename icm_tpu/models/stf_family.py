@@ -490,7 +490,7 @@ def _stack_cc_group(params, tag, model, lrp: bool = False):
         }
         outs.append(entry)
     return jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *outs
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *outs
     )
 
 
@@ -498,11 +498,20 @@ def stack_zigzag_params(params: dict, model: "ZigzagSwinCodec") -> dict:
     """Unrolled ZigzagSwinCodec params -> params for the same model with
     ``scan_charm=True`` (numerically identical forward; see
     tests/test_stf_family.py)."""
+    from .base import fetch_params
+
     n = model.ctx_slices
+    per_slice = fetch_params(
+        {k: v for k, v in params.items()
+         if k.rsplit("_", 1)[0] in (
+             "cc_mean", "cc_scale", "lrp",
+             "mu_refine", "sigma_refine", "lrp_refine",
+         )}
+    )
     scan = {
-        "cc_mean": _stack_cc_group(params, "cc_mean", model),
-        "cc_scale": _stack_cc_group(params, "cc_scale", model),
-        "lrp": _stack_cc_group(params, "lrp", model, lrp=True),
+        "cc_mean": _stack_cc_group(per_slice, "cc_mean", model),
+        "cc_scale": _stack_cc_group(per_slice, "cc_scale", model),
+        "lrp": _stack_cc_group(per_slice, "lrp", model, lrp=True),
     }
     for depths, tag in (
         (model.mu_refine, "mu_refine"),
@@ -511,8 +520,8 @@ def stack_zigzag_params(params: dict, model: "ZigzagSwinCodec") -> dict:
     ):
         if depths:
             scan[tag] = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                *[params[f"{tag}_{i}"] for i in range(n)],
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[per_slice[f"{tag}_{i}"] for i in range(n)],
             )
     drop = tuple(
         f"{t}_{i}"
@@ -528,10 +537,18 @@ def stack_zigzag_params(params: dict, model: "ZigzagSwinCodec") -> dict:
 def unstack_zigzag_params(scan_params: dict, model: "ZigzagSwinCodec") -> dict:
     """Inverse of stack_zigzag_params for the varying-width groups (drops
     the zero padding, which carries no information)."""
+    from .base import fetch_params
+
     n = model.ctx_slices
     sc = model.slice_ch
     cond_w = _zig_cond_width(model)
     max_sup = model.max_support
+    scan_params = fetch_params(
+        {k: scan_params[k]
+         for k in ("cc_mean", "cc_scale", "lrp",
+                   "mu_refine", "sigma_refine", "lrp_refine")
+         if k in scan_params}
+    )
     out = {}
     for tag, lrp in (("cc_mean", False), ("cc_scale", False), ("lrp", True)):
         stacked = scan_params[tag]

@@ -279,8 +279,14 @@ def stack_zigzag_params(
     oldest slots get zero weights — outputs are exactly equal."""
     import numpy as np
 
+    from .base import fetch_params
+
     sup_max = max_support * slice_ch
     tags = ("cc_mean", "cc_scale") + (("lrp",) if apply_lrp else ())
+    params = fetch_params(
+        {k: v for k, v in params.items()
+         if k.rsplit("_", 1)[0] in tags}
+    )
     out = {}
     for tag in tags:
         layers: dict = {}
@@ -322,7 +328,9 @@ def unstack_zigzag_params(
     unrolled protocol / real-bitstream coders."""
     import numpy as np
 
-    sub = stacked["zz_scan"]
+    from .base import fetch_params
+
+    sub = fetch_params(stacked["zz_scan"])
     sup_max = max_support * slice_ch
     tags = ("cc_mean", "cc_scale") + (("lrp",) if apply_lrp else ())
     out: dict = {}
