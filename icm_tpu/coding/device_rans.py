@@ -100,6 +100,20 @@ class DeviceCoderTables:
         return int(self.fc.shape[0])
 
 
+# Pytree registration: coder programs take the tables as an ARGUMENT, not a
+# closure. A closed-over jax.Array is traced as a compile-time constant and
+# XLA bakes it into the executable — with lut2 at rows x 65536 x 8 B that
+# made every decode program a 30-112 MB binary (slow to compile, slow to
+# write/read from the persistent cache, re-uploaded over the tunnel per
+# program, and duplicated in HBM per executable). As an argument the tables
+# live in HBM once and every program that uses them stays KB-sized.
+jax.tree_util.register_dataclass(
+    DeviceCoderTables,
+    data_fields=("lut2", "fc", "esc_sym", "offset", "eo"),
+    meta_fields=(),
+)
+
+
 def build_device_tables(t: EntropyTables) -> DeviceCoderTables:
     """Host-side table build (numpy), uploaded once."""
     cdf = np.asarray(t.quantized_cdf, np.int64)

@@ -127,7 +127,10 @@ class DeviceWireKit:
         self.eb_dev = {
             k: build_device_tables(t) for k, t in tables.bottlenecks.items()
         }
-        gdev = self.gauss_dev
+        # the coder tables are ARGUMENTS of every jitted program below
+        # (partial-bound so callers keep the old signatures): closed-over
+        # tables would be baked into the executables as multi-MB constants
+        # — see the pytree-registration note in coding/device_rans.py
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def to_lanes(a, n_l):
@@ -146,11 +149,13 @@ class DeviceWireKit:
             return a.reshape(B, h, w, C)
 
         @jax.jit
-        def encode_y(vals_T, rows_T):
+        def encode_y(gdev, vals_T, rows_T):
             return encode_lanes(vals_T, rows_T, gdev)
 
-        @functools.partial(jax.jit, static_argnums=(3,))
-        def decode_y_slice(words, off, index_u8, n_l, state, ptr, dest, raw):
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def decode_y_slice(
+            gdev, words, off, index_u8, n_l, state, ptr, dest, raw
+        ):
             B, h, w, C = index_u8.shape
             rows = to_lanes(index_u8.astype(jnp.int32), n_l)
             vals, state, ptr = decode_lanes(
@@ -172,42 +177,34 @@ class DeviceWireKit:
                 C // G, n_px * G
             )
 
-        self._encode_z_fns = {}
-        self._decode_z_fns = {}
-        for key, edev in self.eb_dev.items():
+        @jax.jit
+        def encode_z(edev, z_sym):
+            B, zh, zw, C = z_sym.shape
+            G = self._groups(edev)
+            v = z_sym.reshape(B * zh * zw, G, C // G).transpose(2, 0, 1)
+            vals = v.reshape(C // G, B * zh * zw * G)
+            return encode_lanes(vals, _z_rows(edev, G, B * zh * zw), edev)
 
-            def make(edev):
-                @jax.jit
-                def encode_z(z_sym):
-                    B, zh, zw, C = z_sym.shape
-                    G = self._groups(edev)
-                    v = z_sym.reshape(B * zh * zw, G, C // G).transpose(
-                        2, 0, 1
-                    )
-                    vals = v.reshape(C // G, B * zh * zw * G)
-                    return encode_lanes(
-                        vals, _z_rows(edev, G, B * zh * zw), edev
-                    )
+        @functools.partial(jax.jit, static_argnums=(3, 4, 5))
+        def decode_z(edev, words, off, B, zh, zw, dest, raw):
+            C = edev.num_rows
+            G = self._groups(edev)
+            vals, _, _ = decode_lanes(
+                words, off, _z_rows(edev, G, B * zh * zw), edev
+            )
+            vals = fix_escapes(vals, dest, raw)
+            v = vals.reshape(C // G, B * zh * zw, G).transpose(1, 2, 0)
+            return v.reshape(B, zh, zw, C)
 
-                @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-                def decode_z(words, off, B, zh, zw, dest, raw):
-                    C = edev.num_rows
-                    G = self._groups(edev)
-                    vals, _, _ = decode_lanes(
-                        words, off, _z_rows(edev, G, B * zh * zw), edev
-                    )
-                    vals = fix_escapes(vals, dest, raw)
-                    v = vals.reshape(C // G, B * zh * zw, G).transpose(
-                        1, 2, 0
-                    )
-                    return v.reshape(B, zh, zw, C)
+        self._encode_z_fns = {
+            k: functools.partial(encode_z, e) for k, e in self.eb_dev.items()
+        }
+        self._decode_z_fns = {
+            k: functools.partial(decode_z, e) for k, e in self.eb_dev.items()
+        }
 
-                return encode_z, decode_z
-
-            self._encode_z_fns[key], self._decode_z_fns[key] = make(edev)
-
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def encode_y_stack(syms, idxs, n_l):
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def encode_y_stack(gdev, syms, idxs, n_l):
             """(N, B, h, w, sc) stacked slices -> the same lane layout
             encode_y_slices builds from per-slice lists."""
             N, B, h, w, sc = syms.shape
@@ -224,9 +221,13 @@ class DeviceWireKit:
 
         self.to_lanes = to_lanes
         self.from_lanes = from_lanes
-        self._encode_y = encode_y
-        self._encode_y_stack = encode_y_stack
-        self._decode_y_slice = decode_y_slice
+        self._encode_y = functools.partial(encode_y, self.gauss_dev)
+        self._encode_y_stack = functools.partial(
+            encode_y_stack, self.gauss_dev
+        )
+        self._decode_y_slice = functools.partial(
+            decode_y_slice, self.gauss_dev
+        )
 
     # --- layout ---------------------------------------------------------
     def n_lanes(self, h: int, w: int) -> int:

@@ -145,7 +145,6 @@ class Stf3Codec:
             from .device_codec import DeviceWireKit
 
             self.kit = DeviceWireKit(self.tables)
-            gdev = self.kit.gauss_dev
 
             @jax.jit
             def lane_layout(sym, index):
@@ -168,7 +167,7 @@ class Stf3Codec:
                 return init_lanes(words, off)
 
             @jax.jit
-            def wire_step(sym_all, index_all, y_buf, i,
+            def wire_step(gdev, sym_all, index_all, y_buf, i,
                           words, off, st, pt, ed, er):
                 """One decode step against full_context's outputs on the
                 CURRENT prefix buffer. Row i of the buffer is zero, so
@@ -197,7 +196,9 @@ class Stf3Codec:
             self._lane_layout = lane_layout
             self._z_symbols_dev = z_symbols
             self._wire_init = wire_init
-            self._wire_step = wire_step
+            self._wire_step = functools.partial(
+                wire_step, self.kit.gauss_dev
+            )
 
     # --- z (factorized bottleneck), one stream per image --------------------
     def _z_tables(self):

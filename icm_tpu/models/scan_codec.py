@@ -130,7 +130,7 @@ class ZigzagScanWire:
         n_cap = self.N
 
         @jax.jit
-        def program(p_xs, means_stack, scales_stack, y_stack,
+        def program(gdev, p_xs, means_stack, scales_stack, y_stack,
                     words, off, esc_d, esc_r, is_enc):
             N_, B, h, w, sc_ = y_stack.shape
             n_l = kit.n_lanes(h, w)
@@ -196,7 +196,7 @@ class ZigzagScanWire:
             )
             return y_hats, syms, idxs
 
-        self._program = program
+        self._program = functools.partial(program, kit.gauss_dev)
 
     # --- helpers -----------------------------------------------------------
     def _lanes(self, B: int, h: int, w: int) -> int:
@@ -281,7 +281,7 @@ class ZigzagSwinScanWire:
         full_cond = self.full_cond
 
         @jax.jit
-        def program(p_xs, cond_m, cond_s, y_stack,
+        def program(gdev, p_xs, cond_m, cond_s, y_stack,
                     words, off, esc_d, esc_r, is_enc):
             N_, B, h, w, sc_ = y_stack.shape
             n_l = kit.n_lanes(h, w)
@@ -362,7 +362,7 @@ class ZigzagSwinScanWire:
             )
             return y_hats, syms, idxs
 
-        self._program = program
+        self._program = functools.partial(program, kit.gauss_dev)
 
     _dummy_stream = ZigzagScanWire._dummy_stream
 
@@ -428,7 +428,7 @@ class Stf2ScanWire:
         mdl = model
 
         @jax.jit
-        def program(v, m_win, s_win, y_tok, words, off,
+        def program(gdev, v, m_win, s_win, y_tok, words, off,
                     esc_d, esc_r, is_enc):
             B, N, D = y_tok.shape
             L = B * D
@@ -492,7 +492,7 @@ class Stf2ScanWire:
                 idxs.astype(jnp.int32).reshape(N, -1),
             )
 
-        self._program = program
+        self._program = functools.partial(program, kit.gauss_dev)
         self._lane_layout = lane_layout
 
     def _dummy_stream(self, L: int, N: int, cap: int = 64):
@@ -554,7 +554,7 @@ class CzigzagScanWire:
         n_cap = self.N
 
         @jax.jit
-        def program(p_xs, means_stack, scales_stack, hctx_stack, y_stack,
+        def program(gdev, p_xs, means_stack, scales_stack, hctx_stack, y_stack,
                     words, off, esc_d, esc_r, is_enc):
             N_, B, h, w, sc_ = y_stack.shape
             n_l = kit.n_lanes(h, w)
@@ -622,7 +622,7 @@ class CzigzagScanWire:
             )
             return y_hats, syms, idxs
 
-        self._program = program
+        self._program = functools.partial(program, kit.gauss_dev)
 
     _dummy_stream = ZigzagScanWire._dummy_stream
 
@@ -698,7 +698,7 @@ class CharmScanWire:
         gdev = kit.gauss_dev
 
         @jax.jit
-        def program(p_xs, means, scales, y_stack,
+        def program(gdev, p_xs, means, scales, y_stack,
                     words, off, esc_d, esc_r, is_enc):
             N_, B, h, w, sc_ = y_stack.shape
             n_l = kit.n_lanes(h, w)
@@ -761,7 +761,7 @@ class CharmScanWire:
             )
             return y_hats, syms, idxs
 
-        self._program = program
+        self._program = functools.partial(program, kit.gauss_dev)
 
     def _dummy_stream(self, L: int, cap: int = 64):
         words = jnp.zeros((_WORD_BUCKET,), jnp.int32)
