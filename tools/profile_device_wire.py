@@ -95,15 +95,15 @@ def main():
 
     sym32s, idxs = pend["sym32s"], pend["idxs"]
     _, h, w, _ = sym32s[0].shape
-    n_l = codec._n_lanes(h, w)
-    vals_T = jnp.concatenate([codec._to_lanes(s, n_l) for s in sym32s], 0)
+    n_l = codec.kit.n_lanes(h, w)
+    vals_T = jnp.concatenate([codec.kit.to_lanes(s, n_l) for s in sym32s], 0)
     rows_T = jnp.concatenate(
-        [codec._to_lanes(i.astype(jnp.int32), n_l) for i in idxs], 0
+        [codec.kit.to_lanes(i.astype(jnp.int32), n_l) for i in idxs], 0
     )
-    te, (ybuf, ylen, ydest, yraw, yn) = t(codec._encode_y, vals_T, rows_T)
+    te, (ybuf, ylen, ydest, yraw, yn) = t(codec.kit._encode_y, vals_T, rows_T)
     report["rans_encode_y_s"] = round(te, 3)
     report["y_steps_lanes"] = list(vals_T.shape)
-    tez, _ = t(codec._encode_z, pend["z_sym"])
+    tez, _ = t(codec.kit._encode_z_fns["entropy_bottleneck"], pend["z_sym"])
     report["rans_encode_z_s"] = round(tez, 3)
 
     t0 = time.time()
@@ -115,18 +115,19 @@ def main():
     # ---- decode stages ------------------------------------------------------
     y_strings, z_strings = enc["strings"]
     t0 = time.time()
-    zwords, zoff, zdest, zraw = codec._upload_words(z_strings)
-    ywords, yoff, ydest_h, yraw_h = codec._upload_words(y_strings)
+    zwords, zoff, zdest, zraw = codec.kit.upload_words(z_strings)
+    ywords, yoff, ydest_h, yraw_h = codec.kit.upload_words(y_strings)
     sync(ywords[:8])
     report["upload_s"] = round(time.time() - t0, 3)
 
     zh, zw = enc["shape"]
-    G = codec._z_groups()
+    edev = codec.kit.eb_dev["entropy_bottleneck"]
+    G = codec.kit._groups(edev)
     n_lz = args.batch * zh * zw * G
-    Tz = codec._eb_dev.num_rows // G
-    zd, zr = codec._esc_segment(zdest, zraw, 0, Tz * n_lz)
+    Tz = edev.num_rows // G
+    zd, zr = codec.kit.esc_segment(zdest, zraw, 0, Tz * n_lz)
     tz, z_sym = t(
-        lambda w, o: codec._decode_z_dev(
+        lambda w, o: codec.kit._decode_z_fns["entropy_bottleneck"](
             w.astype(jnp.int32), o, args.batch, zh, zw, zd, zr
         ),
         zwords, zoff,
@@ -139,9 +140,9 @@ def main():
     sync(index)
     L = args.batch * n_l
     Ts = (index.shape[1] * index.shape[2] // n_l) * index.shape[3]
-    yd, yr = codec._esc_segment(ydest_h, yraw_h, 0, Ts * L)
+    yd, yr = codec.kit.esc_segment(ydest_h, yraw_h, 0, Ts * L)
     td, (sym0, rst, rpt) = t(
-        lambda w, o: codec._decode_y_slice(
+        lambda w, o: codec.kit._decode_y_slice(
             w.astype(jnp.int32), o, index, n_l, None, None, yd, yr
         ),
         ywords, yoff,
