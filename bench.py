@@ -196,13 +196,16 @@ class _StageCostMeter:
         return out
 
 # persistent compile cache: full-size graphs take minutes to compile over
-# the remote-TPU tunnel; caching them makes reruns start in seconds
+# the remote-TPU tunnel; caching them makes reruns start in seconds.
+# threshold 0: even "small" ops cost ~0.4 s each over the tunnel (the
+# compile RPC is latency-bound, not compute-bound), and a warm stf13
+# codec dispatches ~26 of them — caching everything shaves ~10 s.
 try:
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.expanduser("~"), ".cache", "jax_icm_tpu"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
 

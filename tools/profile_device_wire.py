@@ -28,7 +28,7 @@ try:
         "jax_compilation_cache_dir",
         os.path.join(os.path.expanduser("~"), ".cache", "jax_icm_tpu"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
 
