@@ -106,30 +106,30 @@ def _device_decode_layer(codec, driver, v, y_strings, z_strings, shape_hw,
     return driver.assemble(v, slices)
 
 
-def _scan_encode_layer(codec, driver, scanw, v, y, z_key, z=None):
+def _scan_encode_layer(codec, driver, scanw, v, y, z_key):
     """Charm layer encode over the SCAN wire (models/scan_codec.py): z on
-    the kit lanes, the whole y AR chain as one lax.scan program."""
+    the kit lanes, the whole y AR chain as one lax.scan program. Four
+    device programs total (enc front, shared conditioning, the scan,
+    assembly) — the conditioning program is the SAME executable
+    ``_scan_decode_layer`` runs, so the scan's float inputs match the
+    decoder's bit-for-bit."""
     kit = codec.kit
-    if z is None:
-        z = driver.h_a(v, y)
-    med = driver.eb_medians(v)
-    z_sym = _q_sym(z, med, codec.narrow)
+    z_sym, y_stack = driver.scan_enc_front(v, y)
     z_strings = kit.encode_z(z_sym, z_key)
-    z_hat = _dq_sym(z_sym, med)
-    state = driver.ctx_prepare(v, z_hat)
-    y_slices = driver.latent_slices(v, y)
-    y_strings, y_hat_slices = scanw.encode(state, y_slices)
-    return y_strings, z_strings, driver.assemble(v, y_hat_slices), z.shape[1:3]
+    means, scales = driver.scan_state(v, z_sym)
+    y_strings, y_hats = scanw.encode(means, scales, y_stack)
+    return (
+        y_strings, z_strings, driver.scan_assemble(v, y_hats),
+        (int(z_sym.shape[1]), int(z_sym.shape[2])),
+    )
 
 
 def _scan_decode_layer(codec, driver, scanw, v, y_strings, z_strings,
                        shape_hw, z_key):
     kit = codec.kit
     z_sym = kit.decode_z(z_strings, shape_hw[0], shape_hw[1], z_key)
-    med = driver.eb_medians(v)
-    z_hat = _dq_sym(z_sym, med)
-    state = driver.ctx_prepare(v, z_hat)
-    return driver.assemble(v, scanw.decode(y_strings, state))
+    means, scales = driver.scan_state(v, z_sym)
+    return driver.scan_assemble(v, scanw.decode(y_strings, means, scales))
 
 
 def _make_kit(codec, wire: str):
@@ -205,49 +205,44 @@ class CRCCodec:
         )
         self._support = sliding_support(model.max_support)
 
-        # --- human layer stages -------------------------------------------
+        # --- human layer stages (merged — see CRC3Codec rationale) --------
         @jax.jit
-        def human_encode_prep(v, x, y_hat):
-            """-> (human_y, human_z) (reference stf9.py:1132-1136 semantics)."""
-            return mdl.apply(v, x, y_hat, method=mdl.human_encode)
-
-        @jax.jit
-        def human_z_symbols(v, z):
-            med = mdl.apply(v, method=mdl.human_eb_medians)
-            return enc_round(z - med, narrow).astype(jnp.int32)
-
-        @jax.jit
-        def human_z_dequant(v, sym):
-            med = mdl.apply(v, method=mdl.human_eb_medians)
-            return sym.astype(jnp.float32) + med
-
-        @jax.jit
-        def human_hyper_synth(v, z_hat):
+        def human_enc_front(v, x, y_hat):
+            """-> (human_y, hz_sym) (reference stf9.py:1132-1136
+            semantics; h_a + medians + quantize folded in)."""
             def f(m):
+                hy, hz = m.human_encode(x, y_hat)
+                med = m.human_eb_medians()
+                return hy, enc_round(hz - med, narrow).astype(jnp.int32)
+
+            return mdl.apply(v, method=f)
+
+        @jax.jit
+        def human_hyper(v, hz_sym):
+            """SHARED by compress and decompress (one executable)."""
+            def f(m):
+                z_hat = hz_sym.astype(jnp.float32) + m.human_eb_medians()
                 return (
                     m.human_hyper.h_mean_s(z_hat),
                     m.human_hyper.h_scale_s(z_hat),
                 )
 
             means, scales = mdl.apply(v, method=f)
-            index = build_indexes(scales, self._scale_table_dev)
-            return means, scales, index
-
-        @jax.jit
-        def human_y_symbols(v, y, means):
-            return enc_round(y - means, narrow).astype(jnp.int32)
+            return means, build_indexes(scales, self._scale_table_dev)
 
         @jax.jit
         def human_decode(v, sym, means, y_hat):
             human_y_hat = sym.astype(jnp.float32) + means
-            return mdl.apply(v, human_y_hat, y_hat, method=mdl.human_synthesize)
+            return jnp.clip(
+                mdl.apply(
+                    v, human_y_hat, y_hat, method=mdl.human_synthesize
+                ),
+                0.0, 1.0,
+            )
 
         self._m_analyze = m_analyze
-        self._human_encode_prep = human_encode_prep
-        self._human_z_symbols = human_z_symbols
-        self._human_z_dequant = human_z_dequant
-        self._human_hyper_synth = human_hyper_synth
-        self._human_y_symbols = human_y_symbols
+        self._human_enc_front = human_enc_front
+        self._human_hyper = human_hyper
         self._human_decode = human_decode
 
     # --- z coding shared ----------------------------------------------------
@@ -305,7 +300,7 @@ class CRCCodec:
         if self.wire == "device" and self.scan_wire:
             y_strings, z_strings, y_hat, _ = _scan_encode_layer(
                 self, self._machine, self._scans["machine"], v, y,
-                "entropy_bottleneck", z=z,
+                "entropy_bottleneck",
             )
         elif self.wire == "device":
             y_strings, z_strings, y_hat, _ = _device_encode_layer(
@@ -336,25 +331,20 @@ class CRCCodec:
             y_hat = self._machine.assemble(v, slices)
 
         # human layer (one-shot hyperprior; reference stf9.py:1132-1160)
-        human_y, human_z = self._human_encode_prep(v, x, y_hat)
+        human_y, hz_sym_dev = self._human_enc_front(v, x, y_hat)
         if self.wire == "device":
-            hz_sym_dev = self._human_z_symbols(v, human_z)
             hz_strings = self.kit.encode_z(
                 hz_sym_dev, "entropy_bottleneck_human"
             )
-            hz_hat = self._human_z_dequant(v, hz_sym_dev)
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
-            hy_sym_dev = self._human_y_symbols(v, human_y, means)
+        else:
+            hz_sym = np.asarray(jax.device_get(hz_sym_dev))
+            hz_strings = self._code_z(hz_sym, "entropy_bottleneck_human")
+        means, index = self._human_hyper(v, hz_sym_dev)
+        hy_sym_dev = _q_sym(human_y, means, self.narrow)
+        if self.wire == "device":
             hy_strings = self.kit.encode_gaussian(hy_sym_dev, index)
         else:
             gt = self.tables.gaussian
-            hz_sym = np.asarray(
-                jax.device_get(self._human_z_symbols(v, human_z))
-            )
-            hz_strings = self._code_z(hz_sym, "entropy_bottleneck_human")
-            hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
-            hy_sym_dev = self._human_y_symbols(v, human_y, means)
             hy_sym = np.asarray(jax.device_get(hy_sym_dev))
             hy_idx = np.asarray(jax.device_get(index))
             hy_strings = coding.encode_batch(
@@ -365,7 +355,9 @@ class CRCCodec:
         out = {
             "strings": [y_strings, z_strings, hy_strings, hz_strings],
             "shape": (zh, zw),
-            "human_shape": (human_z.shape[1], human_z.shape[2]),
+            "human_shape": (
+                int(hz_sym_dev.shape[1]), int(hz_sym_dev.shape[2])
+            ),
         }
         if return_debug:
             out["y_hat"] = y_hat
@@ -413,15 +405,16 @@ class CRCCodec:
                 hz_strings, human_shape[0], human_shape[1],
                 "entropy_bottleneck_human",
             )
-            hz_hat = self._human_z_dequant(v, hz_sym)
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            means, index = self._human_hyper(v, hz_sym)
             hy_sym = self.kit.decode_gaussian(hy_strings, index)
         else:
-            hz_sym = self._decode_z(
-                hz_strings, human_shape, "entropy_bottleneck_human"
+            hz_sym = jnp.asarray(
+                self._decode_z(
+                    hz_strings, human_shape, "entropy_bottleneck_human"
+                ),
+                jnp.int32,
             )
-            hz_hat = self._human_z_dequant(v, jnp.asarray(hz_sym))
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            means, index = self._human_hyper(v, hz_sym)
             gt = self.tables.gaussian
             idx_np = np.asarray(jax.device_get(index))
             B = len(hy_strings)
@@ -430,7 +423,7 @@ class CRCCodec:
                 gt.quantized_cdf, gt.cdf_length, gt.offset,
             ).reshape(idx_np.shape))
         x_hat = self._human_decode(v, hy_sym, means, y_hat)
-        return {"x_hat": jnp.clip(x_hat, 0.0, 1.0), "y_hat": y_hat}
+        return {"x_hat": x_hat, "y_hat": y_hat}
 
 
 class _CharmLayerDriver:
@@ -515,6 +508,48 @@ class _CharmLayerDriver:
         def assemble(v, slices):
             return model.apply(v, method=lambda m: getter(m).ctx_assemble(slices))
 
+        # --- merged scan-wire stages --------------------------------------
+        # One program per pipeline half instead of five: over a remote-TPU
+        # tunnel every distinct executable costs a serial load (~0.4-3 s
+        # per program per process — NOTES_ROUND4.md warmup budget), so the
+        # scan path folds h_a + medians + quantize + slice-stacking into
+        # ONE encode-front program and keeps the z_sym -> stacked
+        # conditioning in ONE program SHARED verbatim by both coder sides
+        # (same executable -> the scan program's float conditioning is
+        # bit-identical on encode and decode by construction).
+        @jax.jit
+        def scan_enc_front(v, y):
+            def f(m):
+                c = getter(m)
+                z = c.h_a(y)
+                med = c.eb_medians()
+                z_sym = enc_round(z - med, narrow).astype(jnp.int32)
+                return z_sym, jnp.stack(c.latent_slices(y), axis=0)
+
+            return model.apply(v, method=f)
+
+        @jax.jit
+        def scan_state(v, z_sym):
+            def f(m):
+                c = getter(m)
+                z_hat = z_sym.astype(jnp.float32) + c.eb_medians()
+                st = c.ctx_prepare(z_hat)
+                return (
+                    jnp.stack(st["means"], axis=0),
+                    jnp.stack(st["scales"], axis=0),
+                )
+
+            return model.apply(v, method=f)
+
+        @jax.jit
+        def scan_assemble(v, y_hats):
+            return model.apply(
+                v, method=lambda m: getter(m).ctx_assemble(list(y_hats))
+            )
+
+        self.scan_enc_front = scan_enc_front
+        self.scan_state = scan_state
+        self.scan_assemble = scan_assemble
         self.eb_medians = eb_medians
         self.h_a = h_a
         self.ctx_prepare = ctx_prepare
@@ -814,41 +849,48 @@ class CRC3Codec:
         def seg_encode(v, x, y_hat):
             return mdl.apply(v, x, y_hat, method=mdl.seg_encode)
 
+        # merged human-layer stages (same program-count rationale as the
+        # driver's scan_* programs): the encode front folds human_encode +
+        # h_a + medians + quantize into one program; ``human_hyper`` (z
+        # dequant + hyper synthesis + scale bucketing) is SHARED verbatim
+        # by compress and decompress so the mu/index the symbols were
+        # coded under are the ones the decoder reconstructs with.
         @jax.jit
-        def human_encode(v, x, y_hat, seg_y_hat):
+        def human_enc_front(v, x, y_hat, seg_y_hat):
             def f(m):
                 hy = m.human_encode(x, y_hat, seg_y_hat)
-                return hy, m.human_hyper.h_a(hy)
+                hz = m.human_hyper.h_a(hy)
+                med = m.human_eb_medians()
+                return hy, enc_round(hz - med, narrow).astype(jnp.int32)
 
             return mdl.apply(v, method=f)
 
         @jax.jit
-        def human_eb_medians(v):
-            return mdl.apply(v, method=mdl.human_eb_medians)
-
-        @jax.jit
-        def human_hyper_synth(v, z_hat):
+        def human_hyper(v, hz_sym):
             def f(m):
+                z_hat = hz_sym.astype(jnp.float32) + m.human_eb_medians()
                 return (
                     m.human_hyper.h_mean_s(z_hat),
                     m.human_hyper.h_scale_s(z_hat),
                 )
 
             means, scales = mdl.apply(v, method=f)
-            return means, scales, build_indexes(scales, st)
+            return means, build_indexes(scales, st)
 
         @jax.jit
         def human_synth(v, sym, means, y_hat, seg_y_hat):
             hy_hat = sym.astype(jnp.float32) + means
-            return mdl.apply(
-                v, hy_hat, y_hat, seg_y_hat, method=mdl.human_synthesize
+            return jnp.clip(
+                mdl.apply(
+                    v, hy_hat, y_hat, seg_y_hat, method=mdl.human_synthesize
+                ),
+                0.0, 1.0,
             )
 
         self._m_analyze = m_analyze
         self._seg_encode = seg_encode
-        self._human_encode = human_encode
-        self._human_eb_medians = human_eb_medians
-        self._human_hyper_synth = human_hyper_synth
+        self._human_enc_front = human_enc_front
+        self._human_hyper = human_hyper
         self._human_synth = human_synth
 
     _code_z = SegOjCodec._code_z
@@ -878,27 +920,17 @@ class CRC3Codec:
         sy_s, sz_s, seg_y_hat, s_shape = self._encode_layer(
             self.seg, v, seg_y, "entropy_bottleneck_seg"
         )
-        human_y, human_z = self._human_encode(v, x, y_hat, seg_y_hat)
-        med = self._human_eb_medians(v)
+        human_y, hz_sym_dev = self._human_enc_front(v, x, y_hat, seg_y_hat)
         if self.wire == "device":
-            hz_sym_dev = _q_sym(human_z, med, self.narrow)
             hz_s = self.kit.encode_z(hz_sym_dev, "entropy_bottleneck_human")
-            hz_hat = _dq_sym(hz_sym_dev, med)
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
-            hy_sym_dev = _q_sym(human_y, means, self.narrow)
+        else:
+            hz_sym = np.asarray(jax.device_get(hz_sym_dev))
+            hz_s = self._code_z(hz_sym, "entropy_bottleneck_human")
+        means, index = self._human_hyper(v, hz_sym_dev)
+        hy_sym_dev = _q_sym(human_y, means, self.narrow)
+        if self.wire == "device":
             hy_s = self.kit.encode_gaussian(hy_sym_dev, index)
         else:
-            hz_sym = np.asarray(
-                jax.device_get(
-                    enc_round(human_z - med, self.narrow).astype(jnp.int32)
-                )
-            )
-            hz_s = self._code_z(hz_sym, "entropy_bottleneck_human")
-            hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
-            hy_sym_dev = enc_round(human_y - means, self.narrow).astype(
-                jnp.int32
-            )
             hy_sym = np.asarray(jax.device_get(hy_sym_dev))
             gt = self.tables.gaussian
             B = x.shape[0]
@@ -911,7 +943,9 @@ class CRC3Codec:
             "strings": [y_s, z_s, sy_s, sz_s, hy_s, hz_s],
             "shape": tuple(int(d) for d in m_shape),
             "seg_shape": tuple(int(d) for d in s_shape),
-            "human_shape": (int(human_z.shape[1]), int(human_z.shape[2])),
+            "human_shape": (
+                int(hz_sym_dev.shape[1]), int(hz_sym_dev.shape[2])
+            ),
         }
         if return_debug:
             out["y_hat"] = y_hat
@@ -944,21 +978,19 @@ class CRC3Codec:
         seg_y_hat = self._decode_layer(
             self.seg, v, sy_s, sz_s, seg_shape, "entropy_bottleneck_seg"
         )
-        med = self._human_eb_medians(v)
         if self.wire == "device":
             hz_sym = self.kit.decode_z(
                 hz_s, human_shape[0], human_shape[1],
                 "entropy_bottleneck_human",
             )
-            hz_hat = _dq_sym(hz_sym, med)
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            means, index = self._human_hyper(v, hz_sym)
             hy_sym = self.kit.decode_gaussian(hy_s, index)
         else:
-            hz_sym = self._decode_z(
-                hz_s, human_shape, "entropy_bottleneck_human"
+            hz_sym = jnp.asarray(
+                self._decode_z(hz_s, human_shape, "entropy_bottleneck_human"),
+                jnp.int32,
             )
-            hz_hat = jnp.asarray(hz_sym, jnp.float32) + med
-            means, scales, index = self._human_hyper_synth(v, hz_hat)
+            means, index = self._human_hyper(v, hz_sym)
             gt = self.tables.gaussian
             idx_np = np.asarray(jax.device_get(index))
             B = len(hy_s)
@@ -968,7 +1000,7 @@ class CRC3Codec:
             ).reshape(idx_np.shape))
         x_hat = self._human_synth(v, hy_sym, means, y_hat, seg_y_hat)
         return {
-            "x_hat": jnp.clip(x_hat, 0.0, 1.0),
+            "x_hat": x_hat,
             "y_hat": y_hat,
             "seg_y_hat": seg_y_hat,
         }

@@ -66,30 +66,182 @@ def _round_up(n: int, q: int) -> int:
     return ((max(n, 1) + q - 1) // q) * q
 
 
-def _wire_inputs(kit, blobs, n_segs: int, seg_size: int):
-    """Shared decode-side wire prep: upload the per-image wires, split
-    the escape side channel into ``n_segs`` equal segments of
-    ``seg_size`` symbols (one shared pad cap — a per-segment cap would
-    be a shape in the jitted program's signature and recompile per
-    slice), and bucket-pad the word array to ``_WORD_BUCKET`` so only
-    word-count buckets, never exact lengths, appear in program
-    signatures. -> (words32, off, esc_d, esc_r)."""
-    words, off, dest, raw = kit.upload_words(blobs)
-    cap = kit.esc_cap(dest, n_segs, seg_size)
-    segs = [
-        kit.esc_segment(dest, raw, i * seg_size, (i + 1) * seg_size, cap=cap)
-        for i in range(n_segs)
-    ]
-    esc_d = jnp.stack([s[0] for s in segs], axis=0)
-    esc_r = jnp.stack([s[1] for s in segs], axis=0)
-    pad = _round_up(int(words.shape[0]), _WORD_BUCKET)
-    words32 = jnp.zeros((pad,), jnp.int32).at[: words.shape[0]].set(
-        words.astype(jnp.int32)
+# --------------------------------------------------------------------------
+# Static program signatures
+# --------------------------------------------------------------------------
+# The scan program is executed VERBATIM by encoder and decoder — that shared
+# executable is what makes the AR float context bit-identical on both sides
+# (module docstring). An executable is keyed by its input SHAPES, so every
+# shape in the program signature must be a function of the STATIC problem
+# shape (N, B, h, w, sc) only, never of the data:
+#
+#   - words: the encoder emits at most ONE 16-bit word per symbol (32-bit
+#     state, 16-bit renorm: state < 2^32 implies one shift reaches
+#     state < freq<<16 — coding/device_rans.py) plus a 2-word flushed
+#     state per lane, so ``n_syms + 2 * lanes`` is a hard bound. The
+#     decoder places the real words into a zero buffer of that static
+#     size; the encoder passes zeros of the same shape (its branch never
+#     reads them).
+#   - escape side channel: padded to a STATIC TIER cap (1/64, 1/8, or all
+#     of a segment). Both sides derive the tier from the same per-segment
+#     escape counts — the encoder from its first-pass wire (re-encoding
+#     at the higher tier when the base cap overflows; rare beyond
+#     untrained-weight statistics), the decoder from the received wire —
+#     so no header bytes are needed and the executables stay paired.
+#
+# Before this, the encoder ran with one-bucket/cap-64 dummies while the
+# decoder's shapes followed the data: at production scale the two sides
+# silently compiled SEPARATE executables of the "shared" program
+# (verified equal in practice, but only by the accident of XLA compiling
+# the identical float subgraph identically — tools/verify_roundtrip.py),
+# and every new escape-count bucket recompiled the decoder (~30-60 s over
+# the tunnel). Static signatures restore the invariant by construction
+# and pin warm-cache warmup to one program per (model, shape).
+
+_ESC_TIER_SHIFTS = (6, 3, 0)  # cap = seg_size >> shift (min 64)
+
+
+def _esc_tier_cap(seg_size: int, tier: int) -> int:
+    return max(1, min(seg_size, max(64, seg_size >> _ESC_TIER_SHIFTS[tier])))
+
+
+def _tier_for(max_seg_count: int, seg_size: int) -> int:
+    for t in range(len(_ESC_TIER_SHIFTS)):
+        if max_seg_count <= _esc_tier_cap(seg_size, t):
+            return t
+    return len(_ESC_TIER_SHIFTS) - 1  # unreachable: last cap == seg_size
+
+
+def _static_word_cap(n_syms: int, lanes: int) -> int:
+    return _round_up(n_syms + 2 * lanes, _WORD_BUCKET)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _place_words(words16, w_cap: int):
+    """Real (host-pow2-padded) uint16 words -> static (w_cap,) int32
+    buffer. Integer-only: recompiles per pow2 upload size without
+    touching any float executable."""
+    return (
+        jnp.zeros((w_cap,), jnp.int32)
+        .at[: words16.shape[0]]
+        .set(words16.astype(jnp.int32))
     )
-    return words32, off, esc_d, esc_r
 
 
-class ZigzagScanWire:
+def _seg_esc_counts(blobs, n_l_img: int, steps_per_seg: int, n_segs: int):
+    """Per-segment escape counts of a multi-image wire, from the blobs
+    alone (host, no device work). Wire-local escape positions are
+    ``t * n_l + lane``; the global segment of step ``t`` is
+    ``t // steps_per_seg``. Encoder and decoder run this SAME function on
+    the SAME bytes, so both pick the same tier."""
+    from .device_codec import _unpack_wire
+
+    counts = np.zeros((n_segs,), np.int64)
+    for blob in blobs:
+        _, _, dest, _ = _unpack_wire(blob)
+        if dest.shape[0]:
+            seg = (dest // n_l_img) // steps_per_seg
+            counts += np.bincount(seg, minlength=n_segs)[:n_segs]
+    return counts
+
+
+def _wrap_tier(blobs: List[bytes], tier: int) -> List[bytes]:
+    """Scan-wire framing: one leading tier byte per blob (the escape-cap
+    tier the stream was ENCODED under — the decoder must build its
+    program inputs at the same tier to run the same executable)."""
+    return [bytes([tier]) + b for b in blobs]
+
+
+def _wire_inputs(kit, blobs, n_segs: int, seg_size: int,
+                 lanes: int, n_syms: int):
+    """Decode-side wire prep with a fully STATIC program signature:
+    -> (words32 (w_cap,), off (lanes,), esc_d/esc_r (n_segs, cap))."""
+    from ..coding.device_rans import lane_offsets
+    from .device_codec import _unpack_wire
+
+    tier = blobs[0][0]
+    offs, words, dests, raws = [], [], [], []
+    base = 0
+    B = len(blobs)
+    for b, blob in enumerate(blobs):
+        lengths, w, dest, raw = _unpack_wire(memoryview(blob)[1:])
+        n_l_img = lengths.shape[0]
+        offs.append(lane_offsets(lengths) + base)
+        base += int(w.shape[0])
+        words.append(w)
+        t = dest // n_l_img
+        l = dest - t * n_l_img
+        dests.append(t * (B * n_l_img) + b * n_l_img + l)
+        raws.append(raw)
+    flat = np.concatenate(words)
+    dest = np.concatenate(dests).astype(np.int64)
+    raw = np.concatenate(raws).astype(np.int32)
+    order = np.argsort(dest, kind="stable")
+    dest, raw = dest[order], raw[order]
+
+    cap = _esc_tier_cap(seg_size, tier)
+    esc_d = np.full((n_segs, cap), seg_size, np.int32)
+    esc_r = np.zeros((n_segs, cap), np.int32)
+    for i in range(n_segs):
+        a = np.searchsorted(dest, i * seg_size, side="left")
+        b2 = np.searchsorted(dest, (i + 1) * seg_size, side="left")
+        esc_d[i, : b2 - a] = dest[a:b2] - i * seg_size
+        esc_r[i, : b2 - a] = raw[a:b2]
+
+    w_cap = _static_word_cap(n_syms, lanes)
+    p2 = min(1 << max(int(flat.shape[0]) - 1, 1).bit_length(), w_cap)
+    flat16 = np.zeros((p2,), np.uint16)
+    flat16[: flat.shape[0]] = flat
+    words32 = _place_words(jnp.asarray(flat16), w_cap)
+    off = jnp.asarray(np.concatenate(offs).astype(np.int32))
+    return words32, off, jnp.asarray(esc_d), jnp.asarray(esc_r)
+
+
+class _StaticScanIO:
+    """Encode-side static-signature plumbing shared by every scan wire.
+
+    ``_encode_tiered`` runs the shared program with tier-0 escape-cap
+    dummies, checks the emitted wire's per-segment escape counts against
+    the tier cap, and — only on overflow — re-runs at the smallest
+    sufficient tier so the executable the stream's indexes came from is
+    the one the decoder will run (the tier byte on the wire names it).
+    The loop is monotone over a 3-tier ladder whose last cap is the full
+    segment, so it terminates in <= 3 runs; tier > 0 only occurs at
+    escape rates beyond ~1.5% of symbols (untrained-weight statistics)."""
+
+    def _enc_inputs(self, lanes: int, n_syms: int, seg_size: int,
+                    tier: int):
+        cache = getattr(self, "_enc_zero_cache", None)
+        if cache is None:
+            cache = self._enc_zero_cache = {}
+        key = (lanes, n_syms, seg_size, tier)
+        if key not in cache:
+            cap = _esc_tier_cap(seg_size, tier)
+            cache[key] = (
+                jnp.zeros((_static_word_cap(n_syms, lanes),), jnp.int32),
+                jnp.zeros((lanes,), jnp.int32),
+                jnp.zeros((self.N, cap), jnp.int32),
+                jnp.zeros((self.N, cap), jnp.int32),
+            )
+        return cache[key]
+
+    def _encode_tiered(self, run_pack, lanes: int, n_syms: int,
+                       seg_size: int, n_l_img: int, steps_per_seg: int):
+        """run_pack(static_inputs) -> (outs, blobs); returns
+        (tier-framed blobs, outs of the run that produced them)."""
+        tier = 0
+        while True:
+            outs, blobs = run_pack(
+                self._enc_inputs(lanes, n_syms, seg_size, tier)
+            )
+            counts = _seg_esc_counts(blobs, n_l_img, steps_per_seg, self.N)
+            need = _tier_for(int(counts.max()), seg_size)
+            if need <= tier:
+                return _wrap_tier(blobs, tier), outs
+            tier = need
+
+
+class ZigzagScanWire(_StaticScanIO):
     """Scan-codec driver for one ``ZigzagCharmCoder`` layer.
 
     ``param_path``: key path of the coder subtree inside
@@ -199,50 +351,51 @@ class ZigzagScanWire:
         self._program = functools.partial(program, kit.gauss_dev)
 
     # --- helpers -----------------------------------------------------------
-    def _lanes(self, B: int, h: int, w: int) -> int:
-        return B * self.kit.n_lanes(h, w)
-
-    def _dummy_stream(self, L: int, cap: int = 64):
-        words = jnp.zeros((_WORD_BUCKET,), jnp.int32)
-        off = jnp.zeros((L,), jnp.int32)
-        d = jnp.zeros((self.N, cap), jnp.int32)
-        r = jnp.zeros((self.N, cap), jnp.int32)
-        return words, off, d, r
+    def _layout(self, B: int, h: int, w: int, sc: int):
+        """(n_l per image, lanes, steps/segment, segment symbols)."""
+        n_l = self.kit.n_lanes(h, w)
+        L = B * n_l
+        Ts = ((h * w) // n_l) * sc
+        return n_l, L, Ts, Ts * L
 
     # --- public API --------------------------------------------------------
-    def encode(self, state: dict, y_slices: List[jax.Array]):
-        """state: ``ctx_prepare`` output ({"means": [...], "scales":
-        [...]}); returns (wire blobs per image, y_hat slice list)."""
-        means = jnp.stack(state["means"], axis=0)
-        scales = jnp.stack(state["scales"], axis=0)
-        y_stack = jnp.stack(y_slices, axis=0)
-        _, B, h, w, _ = y_stack.shape
-        words, off, d, r = self._dummy_stream(self._lanes(B, h, w))
-        y_hats, syms, idxs = self._program(
-            self._stacked, means, scales, y_stack,
-            words, off, d, r, jnp.bool_(True),
-        )
-        blobs = self.kit.encode_y_stack(syms, idxs)
-        return blobs, [y_hats[i] for i in range(self.N)]
+    def encode(self, means, scales, y_stack):
+        """Stacked (N, B, h, w, sc) conditioning + latent slices (the
+        merged driver programs emit them stacked — crc_codec.py
+        ``scan_enc_front``/``scan_state``); returns (wire blobs per
+        image, stacked y_hat (N, B, h, w, sc))."""
+        _, B, h, w, sc = y_stack.shape
+        n_l, L, Ts, seg = self._layout(B, h, w, sc)
 
-    def decode(self, blobs: List[bytes], state: dict):
-        """-> y_hat slice list (the scan consumes the same wire format
+        def run_pack(inputs):
+            y_hats, syms, idxs = self._program(
+                self._stacked, means, scales, y_stack,
+                *inputs, jnp.bool_(True),
+            )
+            return y_hats, self.kit.encode_y_stack(syms, idxs)
+
+        blobs, y_hats = self._encode_tiered(
+            run_pack, L, self.N * seg, seg, n_l, Ts
+        )
+        return blobs, y_hats
+
+    def decode(self, blobs: List[bytes], means, scales):
+        """-> stacked y_hat (the scan consumes the same wire format
         :meth:`encode` emits; see DeviceWireKit.encode_y_slices)."""
-        means = jnp.stack(state["means"], axis=0)
-        scales = jnp.stack(state["scales"], axis=0)
         N_, B, h, w, sc = means.shape
-        kit = self.kit
-        seg = ((h * w) // kit.n_lanes(h, w)) * sc * B * kit.n_lanes(h, w)
-        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, self.N, seg)
+        _, L, _, seg = self._layout(B, h, w, sc)
+        words32, off, esc_d, esc_r = _wire_inputs(
+            self.kit, blobs, self.N, seg, L, self.N * seg
+        )
         y_stack = jnp.zeros((self.N, B, h, w, sc), means.dtype)
         y_hats, _, _ = self._program(
             self._stacked, means, scales, y_stack,
             words32, off, esc_d, esc_r, jnp.bool_(False),
         )
-        return [y_hats[i] for i in range(self.N)]
+        return y_hats
 
 
-class ZigzagSwinScanWire:
+class ZigzagSwinScanWire(_StaticScanIO):
     """Scan-codec driver for the stf5-8 family (``ZigzagSwinCodec``):
     the per-slice context includes residual Swin refiner stacks
     (reference ``stf5.py:484-570``), so the step applies the model's own
@@ -364,7 +517,7 @@ class ZigzagSwinScanWire:
 
         self._program = functools.partial(program, kit.gauss_dev)
 
-    _dummy_stream = ZigzagScanWire._dummy_stream
+    _layout = ZigzagScanWire._layout
 
     def _cond(self, state):
         if self.full_cond:
@@ -377,14 +530,19 @@ class ZigzagSwinScanWire:
     def encode(self, state: dict, y_slices: List[jax.Array]):
         cond_m, cond_s = self._cond(state)
         y_stack = jnp.stack(y_slices, axis=0)
-        _, B, h, w, _ = y_stack.shape
-        L = B * self.kit.n_lanes(h, w)
-        words, off, d, r = self._dummy_stream(L)
-        y_hats, syms, idxs = self._program(
-            self._stacked, cond_m, cond_s, y_stack,
-            words, off, d, r, jnp.bool_(True),
+        _, B, h, w, sc = y_stack.shape
+        n_l, L, Ts, seg = self._layout(B, h, w, sc)
+
+        def run_pack(inputs):
+            y_hats, syms, idxs = self._program(
+                self._stacked, cond_m, cond_s, y_stack,
+                *inputs, jnp.bool_(True),
+            )
+            return y_hats, self.kit.encode_y_stack(syms, idxs)
+
+        blobs, y_hats = self._encode_tiered(
+            run_pack, L, self.N * seg, seg, n_l, Ts
         )
-        blobs = self.kit.encode_y_stack(syms, idxs)
         return blobs, [y_hats[i] for i in range(self.N)]
 
     def decode(self, blobs: List[bytes], state: dict):
@@ -393,12 +551,10 @@ class ZigzagSwinScanWire:
             B, h, w = cond_m.shape[0], cond_m.shape[1], cond_m.shape[2]
         else:
             B, h, w = cond_m.shape[1], cond_m.shape[2], cond_m.shape[3]
-        kit = self.kit
-        seg = (
-            ((h * w) // kit.n_lanes(h, w)) * self.sc
-            * B * kit.n_lanes(h, w)
+        _, L, _, seg = self._layout(B, h, w, self.sc)
+        words32, off, esc_d, esc_r = _wire_inputs(
+            self.kit, blobs, self.N, seg, L, self.N * seg
         )
-        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, self.N, seg)
         y_stack = jnp.zeros((self.N, B, h, w, self.sc), cond_m.dtype)
         y_hats, _, _ = self._program(
             self._stacked, cond_m, cond_s, y_stack,
@@ -407,7 +563,7 @@ class ZigzagSwinScanWire:
         return [y_hats[i] for i in range(self.N)]
 
 
-class Stf2ScanWire:
+class Stf2ScanWire(_StaticScanIO):
     """Scan-codec driver for stf2's windowed-token AR loop: the shared
     attention context (``token_context_traced``), scale bucketing, lane
     rANS, and LRP run as ONE ``lax.scan`` executed verbatim by both
@@ -495,34 +651,35 @@ class Stf2ScanWire:
         self._program = functools.partial(program, kit.gauss_dev)
         self._lane_layout = lane_layout
 
-    def _dummy_stream(self, L: int, N: int, cap: int = 64):
-        words = jnp.zeros((_WORD_BUCKET,), jnp.int32)
-        off = jnp.zeros((L,), jnp.int32)
-        d = jnp.zeros((N, cap), jnp.int32)
-        r = jnp.zeros((N, cap), jnp.int32)
-        return words, off, d, r
-
     def encode(self, variables, m_win, s_win, y_tok):
         """-> (wire blobs per image, token list for assembly)."""
-        B, N, D = y_tok.shape
-        words, off, d, r = self._dummy_stream(B * D, N)
-        toks, syms, idxs = self._program(
-            variables, m_win, s_win, y_tok,
-            words, off, d, r, jnp.bool_(True),
-        )
-        vals_T, rows_T = self._lane_layout(syms, idxs)
-        enc = self.kit._encode_y(vals_T, rows_T)
         from .device_codec import _pack_wire
 
-        blobs = [_pack_wire(*p) for p in self.kit.fetch_encoded(enc, B)]
+        B, N, D = y_tok.shape
+        self.N = N  # _enc_inputs/_encode_tiered key on the segment count
+        L = B * D
+
+        def run_pack(inputs):
+            toks, syms, idxs = self._program(
+                variables, m_win, s_win, y_tok,
+                *inputs, jnp.bool_(True),
+            )
+            vals_T, rows_T = self._lane_layout(syms, idxs)
+            enc = self.kit._encode_y(vals_T, rows_T)
+            return toks, [
+                _pack_wire(*p) for p in self.kit.fetch_encoded(enc, B)
+            ]
+
+        blobs, toks = self._encode_tiered(run_pack, L, N * L, L, D, 1)
         return blobs, [toks[i] for i in range(N)]
 
     def decode(self, blobs: List[bytes], variables, m_win, s_win, N: int):
-        kit = self.kit
         B = len(blobs)
-        D = self.D
-        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, N, B * D)
-        y_tok = jnp.zeros((B, N, D), m_win.dtype)
+        L = B * self.D
+        words32, off, esc_d, esc_r = _wire_inputs(
+            self.kit, blobs, N, L, L, N * L
+        )
+        y_tok = jnp.zeros((B, N, self.D), m_win.dtype)
         toks, _, _ = self._program(
             variables, m_win, s_win, y_tok,
             words32, off, esc_d, esc_r, jnp.bool_(False),
@@ -530,7 +687,7 @@ class Stf2ScanWire:
         return [toks[i] for i in range(N)]
 
 
-class CzigzagScanWire:
+class CzigzagScanWire(_StaticScanIO):
     """Scan-codec driver for czigzag's conditioned zigzag AR chain:
     sliding decoded-slice support plus look-ahead windows of BOTH the
     hyper means/scales and the up_x4-derived hyper-context blocks
@@ -624,21 +781,26 @@ class CzigzagScanWire:
 
         self._program = functools.partial(program, kit.gauss_dev)
 
-    _dummy_stream = ZigzagScanWire._dummy_stream
+    _layout = ZigzagScanWire._layout
 
     def encode(self, state: dict, y_slices: List[jax.Array]):
         means = jnp.stack(state["means"], axis=0)
         scales = jnp.stack(state["scales"], axis=0)
         hctx = jnp.stack(state["hctx"], axis=0)
         y_stack = jnp.stack(y_slices, axis=0)
-        _, B, h, w, _ = y_stack.shape
-        L = B * self.kit.n_lanes(h, w)
-        words, off, d, r = self._dummy_stream(L)
-        y_hats, syms, idxs = self._program(
-            self._stacked, means, scales, hctx, y_stack,
-            words, off, d, r, jnp.bool_(True),
+        _, B, h, w, sc = y_stack.shape
+        n_l, L, Ts, seg = self._layout(B, h, w, sc)
+
+        def run_pack(inputs):
+            y_hats, syms, idxs = self._program(
+                self._stacked, means, scales, hctx, y_stack,
+                *inputs, jnp.bool_(True),
+            )
+            return y_hats, self.kit.encode_y_stack(syms, idxs)
+
+        blobs, y_hats = self._encode_tiered(
+            run_pack, L, self.N * seg, seg, n_l, Ts
         )
-        blobs = self.kit.encode_y_stack(syms, idxs)
         return blobs, [y_hats[i] for i in range(self.N)]
 
     def decode(self, blobs: List[bytes], state: dict):
@@ -646,9 +808,10 @@ class CzigzagScanWire:
         scales = jnp.stack(state["scales"], axis=0)
         hctx = jnp.stack(state["hctx"], axis=0)
         N_, B, h, w, sc = means.shape
-        kit = self.kit
-        seg = ((h * w) // kit.n_lanes(h, w)) * sc * B * kit.n_lanes(h, w)
-        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, self.N, seg)
+        _, L, _, seg = self._layout(B, h, w, sc)
+        words32, off, esc_d, esc_r = _wire_inputs(
+            self.kit, blobs, self.N, seg, L, self.N * seg
+        )
         y_stack = jnp.zeros((self.N, B, h, w, sc), means.dtype)
         y_hats, _, _ = self._program(
             self._stacked, means, scales, hctx, y_stack,
@@ -657,7 +820,7 @@ class CzigzagScanWire:
         return [y_hats[i] for i in range(self.N)]
 
 
-class CharmScanWire:
+class CharmScanWire(_StaticScanIO):
     """Scan-codec driver for the classic ChARM protocol (cnn/cnn2/stf):
     PREFIX slice support (the first ``max_support_slices`` reconstructed
     slices condition every later one — reference ``cnn.py:244-249``) and
@@ -763,38 +926,36 @@ class CharmScanWire:
 
         self._program = functools.partial(program, kit.gauss_dev)
 
-    def _dummy_stream(self, L: int, cap: int = 64):
-        words = jnp.zeros((_WORD_BUCKET,), jnp.int32)
-        off = jnp.zeros((L,), jnp.int32)
-        d = jnp.zeros((self.N, cap), jnp.int32)
-        r = jnp.zeros((self.N, cap), jnp.int32)
-        return words, off, d, r
+    _layout = ZigzagScanWire._layout
 
     def encode(self, state: dict, y_slices: List[jax.Array]):
         """state: ``ctx_prepare`` output (full-width means/scales arrays);
         returns (wire blobs per image, y_hat slice list)."""
         y_stack = jnp.stack(y_slices, axis=0)
-        _, B, h, w, _ = y_stack.shape
-        L = B * self.kit.n_lanes(h, w)
-        words, off, d, r = self._dummy_stream(L)
-        y_hats, syms, idxs = self._program(
-            self._stacked, state["means"], state["scales"], y_stack,
-            words, off, d, r, jnp.bool_(True),
+        _, B, h, w, sc = y_stack.shape
+        n_l, L, Ts, seg = self._layout(B, h, w, sc)
+
+        def run_pack(inputs):
+            y_hats, syms, idxs = self._program(
+                self._stacked, state["means"], state["scales"], y_stack,
+                *inputs, jnp.bool_(True),
+            )
+            return y_hats, self.kit.encode_y_stack(syms, idxs)
+
+        blobs, y_hats = self._encode_tiered(
+            run_pack, L, self.N * seg, seg, n_l, Ts
         )
-        blobs = self.kit.encode_y_stack(syms, idxs)
         return blobs, [y_hats[i] for i in range(self.N)]
 
     def decode(self, blobs: List[bytes], state: dict):
         """-> y_hat slice list. The latent grid comes from the
         conditioning: ``ctx_prepare``'s means live at y's resolution."""
-        kit = self.kit
         B = len(blobs)
         h, w = state["means"].shape[1], state["means"].shape[2]
-        seg = (
-            ((h * w) // kit.n_lanes(h, w)) * self.sc
-            * B * kit.n_lanes(h, w)
+        _, L, _, seg = self._layout(B, h, w, self.sc)
+        words32, off, esc_d, esc_r = _wire_inputs(
+            self.kit, blobs, self.N, seg, L, self.N * seg
         )
-        words32, off, esc_d, esc_r = _wire_inputs(kit, blobs, self.N, seg)
         y_stack = jnp.zeros(
             (self.N, B, h, w, self.sc), state["means"].dtype
         )

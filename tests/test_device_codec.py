@@ -148,6 +148,43 @@ def test_scan_wire_roundtrip_stf():
     )
 
 
+def test_scan_wire_escape_tier_ladder(setup):
+    """Escape-heavy streams bump the scan wire's static escape-cap tier
+    (models/scan_codec.py): the encoder re-runs at the smallest
+    sufficient tier, stamps it on the wire, and the decoder rebuilds the
+    SAME program signature from the tier byte — so both sides keep
+    executing one executable and the roundtrip stays bitexact even when
+    most symbols bypass the coder."""
+    from icm_tpu.models.scan_codec import _esc_tier_cap
+
+    model, variables, _ = setup
+    # wild out-of-range input on untrained weights: ~1/3 of symbols
+    # escape; 128px makes the segment (512 syms) large enough that the
+    # tier-0 cap (max(64, seg/64)) cannot hold them
+    x = 40.0 * jax.random.normal(jax.random.PRNGKey(7), (2, 128, 128, 3))
+    scan = DeviceWireCodec(
+        model, variables, lanes_per_image=4, scan_wire=True
+    )
+    enc = scan.compress(x, return_debug=True)
+    tiers = {blob[0] for blob in enc["strings"][0]}
+    assert len(tiers) == 1, tiers
+    tier = tiers.pop()
+    assert tier > 0, "input did not stress the escape channel"
+    # the wire's escape counts must fit the stamped tier's cap
+    from icm_tpu.models.device_codec import _unpack_wire
+
+    h = w = 128 // 16
+    n_l = 4
+    seg = (h * w // n_l) * (model.M // model.ctx_slices) * 2 * n_l
+    for blob in enc["strings"][0]:
+        _, _, dest, _ = _unpack_wire(memoryview(blob)[1:])
+        assert dest.shape[0] <= model.ctx_slices * _esc_tier_cap(seg, tier)
+    dec = scan.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+
+
 def test_scan_wire_rejects_sliding_support():
     """oj_ICM-style models (sliding support, windowed conditioning) must
     not silently ride the prefix-support scan program."""
