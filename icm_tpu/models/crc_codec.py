@@ -1085,12 +1085,44 @@ class CzigzagCodec:
 
         @jax.jit
         def assemble_synthesize(v, slices, decoder_contexts):
-            y_hat = mdl.apply(v, slices, method=mdl.ctx_assemble)
+            # accepts a per-slice list (unrolled paths) or a stacked
+            # (N, B, h, w, sc) array (scan path) — list() unstacks it
+            y_hat = mdl.apply(v, list(slices), method=mdl.ctx_assemble)
             x_hat = mdl.apply(
                 v, y_hat, decoder_contexts, method=mdl.synthesize_cond
             )
             return y_hat, jnp.clip(x_hat, 0.0, 1.0)
 
+        # merged scan-path stages (same program-count rationale as
+        # _CharmLayerDriver.scan_*): one encode front, one conditioning
+        # program SHARED verbatim by both coder sides
+        @jax.jit
+        def scan_enc_front(v, x, ctx_list, hctx, hctx2):
+            def f(m):
+                y = m.analyze_cond(x, ctx_list)
+                z = m.hyper_encode(y, hctx, hctx2)
+                z_sym = enc_round(z - m.eb_medians(), narrow).astype(
+                    jnp.int32
+                )
+                return z_sym, jnp.stack(m.latent_slices(y), axis=0)
+
+            return mdl.apply(v, method=f)
+
+        @jax.jit
+        def scan_state(v, z_sym, hctx, hctx2):
+            def f(m):
+                z_hat = z_sym.astype(jnp.float32) + m.eb_medians()
+                stt = m.ctx_prepare_cond(z_hat, hctx, hctx2)
+                return (
+                    jnp.stack(stt["means"], axis=0),
+                    jnp.stack(stt["scales"], axis=0),
+                    jnp.stack(stt["hctx"], axis=0),
+                )
+
+            return mdl.apply(v, method=f)
+
+        self._scan_enc_front = scan_enc_front
+        self._scan_state = scan_state
         self._pyramids = pyramids
         self._analyze = analyze
         self._hyper_encode = hyper_encode
@@ -1163,6 +1195,26 @@ class CzigzagCodec:
     def _compress_group(self, x, up_x4, return_debug: bool = False):
         v = self.variables
         ctx_list, hctx, hctx2, dec_ctx = self._pyramids(v, up_x4)
+        if self.wire == "device" and self.scan_wire:
+            z_sym_dev, y_stack = self._scan_enc_front(
+                v, x, ctx_list, hctx, hctx2
+            )
+            z_strings = self.kit.encode_z(z_sym_dev, "entropy_bottleneck")
+            means, scales, hctx_s = self._scan_state(
+                v, z_sym_dev, hctx, hctx2
+            )
+            y_strings, slices = self._scanw.encode(
+                means, scales, hctx_s, y_stack
+            )
+            out = {
+                "strings": [y_strings, z_strings],
+                "shape": (int(z_sym_dev.shape[1]), int(z_sym_dev.shape[2])),
+            }
+            if return_debug:
+                y_hat, x_hat = self._assemble_synthesize(v, slices, dec_ctx)
+                out["y_hat"] = y_hat
+                out["x_hat"] = x_hat
+            return out
         y = self._analyze(v, x, ctx_list)
         z = self._hyper_encode(v, y, hctx, hctx2)
         med = self._eb_medians(v)
@@ -1172,13 +1224,10 @@ class CzigzagCodec:
             z_hat = _dq_sym(z_sym_dev, med)
             state = self._ctx_prepare(v, z_hat, hctx, hctx2)
             y_slices = self._latent_slices(v, y)
-            if self.scan_wire:
-                y_strings, slices = self._scanw.encode(state, y_slices)
-            else:
-                slices, sym32s, idxs = self._loop_device(
-                    v, state, y_slices=y_slices
-                )
-                y_strings = self.kit.encode_y_slices(sym32s, idxs)
+            slices, sym32s, idxs = self._loop_device(
+                v, state, y_slices=y_slices
+            )
+            y_strings = self.kit.encode_y_slices(sym32s, idxs)
         else:
             z_sym = np.asarray(
                 jax.device_get(
@@ -1228,22 +1277,25 @@ class CzigzagCodec:
         v = self.variables
         y_strings, z_strings = strings
         _, hctx, hctx2, dec_ctx = self._pyramids(v, up_x4)
+        if self.wire == "device" and self.scan_wire:
+            z_sym = self.kit.decode_z(
+                z_strings, shape[0], shape[1], "entropy_bottleneck"
+            )
+            means, scales, hctx_s = self._scan_state(v, z_sym, hctx, hctx2)
+            slices = self._scanw.decode(y_strings, means, scales, hctx_s)
+            y_hat, x_hat = self._assemble_synthesize(v, slices, dec_ctx)
+            return {"x_hat": x_hat, "y_hat": y_hat}
         med = self._eb_medians(v)
         if self.wire == "device":
-            ydec = None
-            if not self.scan_wire:
-                ydec = self.kit.y_stream_decoder(
-                    y_strings, self.model.ctx_slices
-                )
+            ydec = self.kit.y_stream_decoder(
+                y_strings, self.model.ctx_slices
+            )
             z_sym = self.kit.decode_z(
                 z_strings, shape[0], shape[1], "entropy_bottleneck"
             )
             z_hat = _dq_sym(z_sym, med)
             state = self._ctx_prepare(v, z_hat, hctx, hctx2)
-            if self.scan_wire:
-                slices = self._scanw.decode(y_strings, state)
-            else:
-                slices, _, _ = self._loop_device(v, state, ydec=ydec)
+            slices, _, _ = self._loop_device(v, state, ydec=ydec)
         else:
             z_sym = self._decode_z(z_strings, shape, "entropy_bottleneck")
             z_hat = jnp.asarray(z_sym, jnp.float32) + med

@@ -53,7 +53,7 @@ from ..coding.device_rans import (
     fix_escapes,
     lane_offsets,
 )
-from .codec import CharmCodec
+from .codec import CharmCodec, enc_round
 
 
 def _pack_wire(
@@ -518,6 +518,32 @@ class DeviceWireCodec(CharmCodec):
                 self.model, self.variables, self.kit,
                 self._scale_table_dev, narrow=self.narrow,
             )
+            mdl = self.model
+            narrow_f = self.narrow
+
+            # merged scan-path stages (see crc_codec._CharmLayerDriver
+            # scan_* rationale): ONE encode-front program and ONE
+            # conditioning program SHARED verbatim by both coder sides
+            @jax.jit
+            def scan_enc_front(v, x):
+                def f(m):
+                    y, z = m.analyze(x)
+                    med = m.eb_medians()
+                    z_sym = enc_round(z - med, narrow_f).astype(jnp.int32)
+                    return z_sym, m.latent_slices(y)
+
+                return mdl.apply(v, method=f)
+
+            @jax.jit
+            def scan_state(v, z_sym):
+                def f(m):
+                    z_hat = z_sym.astype(jnp.float32) + m.eb_medians()
+                    return m.ctx_prepare(z_hat)
+
+                return mdl.apply(v, method=f)
+
+            self._scan_enc_front = scan_enc_front
+            self._scan_state = scan_state
 
     def _compress_group(self, x, return_debug: bool = False) -> Dict[str, Any]:
         if self.scan_wire:
@@ -541,22 +567,22 @@ class DeviceWireCodec(CharmCodec):
     def _compress_group_scan(
         self, x, return_debug: bool = False
     ) -> Dict[str, Any]:
-        """Scan-wire encode: analyze + z chain + ctx_prepare, then the
-        whole AR loop as the shared one-compile scan program."""
+        """Scan-wire encode: one merged front program (analyze + z
+        quantize + latent slices), the shared conditioning program, then
+        the whole AR loop as the shared one-compile scan program."""
         v = self.variables
-        y, z = self._analyze(v, x)
-        zh, zw = z.shape[1], z.shape[2]
-        _, z_ovf, z_sym = self._z_symbols(v, z)
-        z_hat = self._z_dequant(v, z_sym)
-        state = self._ctx_prepare(v, z_hat)
-        y_slices = self._latent_slices(v, y)
-        y_strings, y_hat_slices = self._scan.encode(state, y_slices)
+        z_sym, y_slices = self._scan_enc_front(v, x)
         z_strings = self.kit.encode_z(z_sym, "entropy_bottleneck")
-        out = {"strings": [y_strings, z_strings], "shape": (zh, zw)}
+        state = self._scan_state(v, z_sym)
+        y_strings, y_hat_slices = self._scan.encode(state, y_slices)
+        out = {
+            "strings": [y_strings, z_strings],
+            "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+        }
         if return_debug:
             y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
             out["y_hat"] = y_hat
-            out["z_hat"] = z_hat
+            out["z_hat"] = self._z_dequant(v, z_sym)
             out["x_hat"] = x_hat
         return out
 
@@ -597,8 +623,7 @@ class DeviceWireCodec(CharmCodec):
         v = self.variables
         zh, zw = shape
         z_sym = self.kit.decode_z(z_strings, zh, zw, "entropy_bottleneck")
-        z_hat = self._z_dequant(v, z_sym)
-        state = self._ctx_prepare(v, z_hat)
+        state = self._scan_state(v, z_sym)
         y_hat_slices = self._scan.decode(y_strings, state)
         y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)
         return {"x_hat": x_hat, "y_hat": y_hat}

@@ -783,11 +783,10 @@ class CzigzagScanWire(_StaticScanIO):
 
     _layout = ZigzagScanWire._layout
 
-    def encode(self, state: dict, y_slices: List[jax.Array]):
-        means = jnp.stack(state["means"], axis=0)
-        scales = jnp.stack(state["scales"], axis=0)
-        hctx = jnp.stack(state["hctx"], axis=0)
-        y_stack = jnp.stack(y_slices, axis=0)
+    def encode(self, means, scales, hctx, y_stack):
+        """Stacked (N, B, h, w, sc) conditioning + latents (the codec's
+        merged ``scan_enc_front``/``scan_state`` programs emit them
+        stacked); returns (wire blobs per image, stacked y_hat)."""
         _, B, h, w, sc = y_stack.shape
         n_l, L, Ts, seg = self._layout(B, h, w, sc)
 
@@ -801,12 +800,9 @@ class CzigzagScanWire(_StaticScanIO):
         blobs, y_hats = self._encode_tiered(
             run_pack, L, self.N * seg, seg, n_l, Ts
         )
-        return blobs, [y_hats[i] for i in range(self.N)]
+        return blobs, y_hats
 
-    def decode(self, blobs: List[bytes], state: dict):
-        means = jnp.stack(state["means"], axis=0)
-        scales = jnp.stack(state["scales"], axis=0)
-        hctx = jnp.stack(state["hctx"], axis=0)
+    def decode(self, blobs: List[bytes], means, scales, hctx):
         N_, B, h, w, sc = means.shape
         _, L, _, seg = self._layout(B, h, w, sc)
         words32, off, esc_d, esc_r = _wire_inputs(
@@ -817,7 +813,7 @@ class CzigzagScanWire(_StaticScanIO):
             self._stacked, means, scales, hctx, y_stack,
             words32, off, esc_d, esc_r, jnp.bool_(False),
         )
-        return [y_hats[i] for i in range(self.N)]
+        return y_hats
 
 
 class CharmScanWire(_StaticScanIO):
