@@ -101,6 +101,43 @@ import numpy as np
 from icm_tpu.utils.roofline import RooflineReport, compiled_costs, costs_of
 
 
+def _drift_anchor():
+    """Fixed link/compute micro-measurements (see call site)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((4, 1024, 1024), jnp.float32)  # 16 MB bulk fetch probe
+
+    @jax.jit
+    def chain(k):
+        x = k
+        for _ in range(32):
+            x = x @ k
+        return x.sum()  # data-dependent scalar anchors the fetch
+
+    k = jnp.full((512, 512), 1e-3, jnp.float32)
+    # warm both programs (and the fetch path) before timing
+    float(jax.device_get(chain(k)))
+    np.asarray(jax.device_get(a))
+    t0 = time.time()
+    for i in range(3):
+        float(jax.device_get(jnp.float32(i)))
+    rtt_s = (time.time() - t0) / 3
+    t0 = time.time()
+    np.asarray(jax.device_get(a))
+    bw = a.nbytes / max(time.time() - t0, 1e-9) / 1e6
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(jax.device_get(chain(k)))
+        ts.append(time.time() - t0)
+    return {
+        "scalar_fetch_rtt_ms": round(rtt_s * 1e3, 1),
+        "bulk_fetch_MB_per_s": round(bw, 1),
+        "matmul_chain_ms": round(float(np.median(ts)) * 1e3, 1),
+    }
+
+
 class _StageCostMeter:
     """Record every (stage, shape-signature) a codec run dispatches, then
     price each once via lower+compile cost_analysis. Gives honest total
@@ -445,6 +482,20 @@ def main(argv=None):
     t_dec = float(np.median(dec_ts))
     ips = batch / (t_enc + t_dec)
 
+    # Same-session drift anchor (VERDICT r4 #6): the host<->device link's
+    # RTT/bandwidth profile moved 2x between rounds and dragged every
+    # codec wall-time with it (42.3 -> 21.3 img/s host-wire decode, same
+    # code). These three fixed micro-measurements — scalar-fetch RTT, a
+    # 16 MB bulk fetch, and a fixed 32x512-matmul chain — quantify the
+    # session's link+dispatch conditions so cross-round deltas can be
+    # attributed to infrastructure drift vs code changes.
+    drift = None
+    if not degraded:
+        try:
+            drift = _drift_anchor()
+        except Exception as e:  # noqa: BLE001 — anchor must never kill bench
+            drift = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     bits = sum(len(s) * 8 for ss in enc["strings"] for s in ss)
     bpp = bits / (batch * size * size)
 
@@ -461,6 +512,8 @@ def main(argv=None):
         "dec_images_per_sec": round(batch / t_dec, 2),
         "backend": jax.default_backend(),
     }
+    if drift:
+        extra["drift_anchor"] = drift
     if degraded:
         extra["error"] = "DEGRADED (tpu unavailable, cpu fallback): " + degraded
         if degraded_kwargs:

@@ -305,6 +305,10 @@ class BatchRansDecoder:
     decoders without the native lib."""
 
     def __init__(self, streams: Sequence[bytes]):
+        from .wire import reject_framework_wire
+
+        for s in streams:
+            reject_framework_wire(s, "host rANS")
         self._lib = _load_native()
         self._n = len(streams)
         if self._lib is None:
@@ -430,6 +434,10 @@ def decode_batch(
     num_threads: int = 0,
 ) -> np.ndarray:
     """Decode B independent streams with (B, N) indexes -> (B, N) symbols."""
+    from .wire import reject_framework_wire
+
+    for s in streams:
+        reject_framework_wire(s, "host rANS")
     indexes = np.ascontiguousarray(indexes, np.int32)
     B, N = indexes.shape
     lib = _load_native()

@@ -10,6 +10,21 @@ to min/max side 256; random horizontal flip; batches pad annotations with
 
 pycocotools is not available in this environment; the json is parsed
 directly (annotations only need boxes + category ids for detection).
+
+AspectRatioBasedSampler (reference ``retinanet/dataloader.py:410-458``)
+is deliberately NOT reproduced. The reference groups images of similar
+aspect ratio into a batch so ``collater``'s pad-to-largest wastes fewer
+pixels — a throughput heuristic for eager CUDA, where every batch shape
+is free. Under XLA each distinct padded (H, W) is a separate compiled
+executable, so ratio-grouped batches would compile one program per
+ratio bucket and re-trigger compilation whenever the sampler emits a new
+largest-shape combination. The TPU-native trade is the opposite:
+``coco_collate`` pads every batch to ONE static shape (largest H/W in
+the batch, rounded to ``pad_multiple``), paying bounded pad FLOPs (the
+Resizer caps the long side at 256, so waste is bounded by the batch's
+aspect-ratio spread) to keep exactly one executable and zero
+recompiles. Annotation rows are -1-padded to a static count for
+the same reason (jit-able focal loss).
 """
 
 from __future__ import annotations

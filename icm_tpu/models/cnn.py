@@ -212,45 +212,7 @@ class WACNN(CompressionModel):
     def __call__(self, x, training: bool = True):
         if not self.scan_charm:
             return super().__call__(x, training=training)
-
-        from ..ops import ste_round
-
-        y, z = self.analyze(x, training=training)
-        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
-        z_offset = self.eb_medians()
-        z_hat = ste_round(z - z_offset) + z_offset
-        means = self.h_mean_s(z_hat)
-        scales = self.h_scale_s(z_hat)
-
-        B, h, w, M = y.shape
-        S = self.num_slices
-        sc = M // S
-        y_stack = jnp.moveaxis(y.reshape(B, h, w, S, sc), 3, 0)
-        buf = jnp.zeros((B, h, w, self.max_support_slices * sc), y.dtype)
-
-        Scan = nn.scan(
-            _CharmScanStep,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "noise": True},
-            in_axes=0,
-            out_axes=0,
-            length=S,
-        )
-        _, (y_hat_stack, lik_stack) = Scan(
-            slice_ch=sc,
-            cc_widths=self.cc_widths,
-            max_support=self.max_support_slices,
-            training=training,
-            name="charm_scan",
-        )((means, scales, buf, jnp.int32(0)), y_stack)
-
-        y_hat = jnp.moveaxis(y_hat_stack, 0, 3).reshape(B, h, w, M)
-        y_likelihoods = jnp.moveaxis(lik_stack, 0, 3).reshape(B, h, w, M)
-        x_hat = self.synthesize(y_hat, training=training)
-        return {
-            "x_hat": x_hat,
-            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
-        }
+        return charm_scan_forward(self, x, training)
 
     # --- ChARM protocol (see base.CompressionModel) ------------------------
     def analyze(self, x, training: bool = False):
@@ -289,6 +251,53 @@ class WACNN(CompressionModel):
 
     def ctx_assemble(self, y_hat_slices):
         return jnp.concatenate(y_hat_slices, axis=-1)
+
+
+def charm_scan_forward(mdl, x, training: bool):
+    """Shared scan_charm training forward for prefix-support ChARM
+    models (WACNN ``cnn.py``, stf ``stf.py``): the AR slice loop as ONE
+    ``lax.scan`` over stacked per-slice weights — numerically equivalent
+    to the unrolled protocol (the first conv's padded input slots
+    multiply zeroed support channels), but a single compiled program.
+    Caller must be inside the model's ``@nn.compact __call__``."""
+    from ..ops import ste_round
+
+    y, z = mdl.analyze(x, training=training)
+    _, z_likelihoods = mdl.entropy_bottleneck(z, training=training)
+    z_offset = mdl.eb_medians()
+    z_hat = ste_round(z - z_offset) + z_offset
+    state = mdl.ctx_prepare(z_hat)
+    means, scales = state["means"], state["scales"]
+
+    B, h, w, M = y.shape
+    S = mdl.ctx_slices
+    sc = M // S
+    y_stack = jnp.moveaxis(y.reshape(B, h, w, S, sc), 3, 0)
+    buf = jnp.zeros((B, h, w, mdl.max_support_slices * sc), y.dtype)
+
+    Scan = nn.scan(
+        _CharmScanStep,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "noise": True},
+        in_axes=0,
+        out_axes=0,
+        length=S,
+    )
+    _, (y_hat_stack, lik_stack) = Scan(
+        slice_ch=sc,
+        cc_widths=mdl.cc_widths,
+        max_support=mdl.max_support_slices,
+        training=training,
+        name="charm_scan",
+    )((means, scales, buf, jnp.int32(0)), y_stack)
+
+    y_hat = jnp.moveaxis(y_hat_stack, 0, 3).reshape(B, h, w, M)
+    y_likelihoods = jnp.moveaxis(lik_stack, 0, 3).reshape(B, h, w, M)
+    x_hat = mdl.synthesize(y_hat, training=training)
+    return {
+        "x_hat": x_hat,
+        "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+    }
 
 
 def stack_charm_params(

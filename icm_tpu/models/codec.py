@@ -610,7 +610,12 @@ class CharmCodec:
         rANS are in flight. MUST match the value given to
         :meth:`compress`: the AR context is only bit-identical between
         encoder and decoder when both run it at the same batch shapes
-        (XLA float results vary with batch size). Default 1 = serial."""
+        (XLA float results vary with batch size). Default 1 = serial.
+
+        Wire-format guard: the host decode paths all flow through
+        ``coding.BatchRansDecoder``/``decode_batch``, which reject tagged
+        device/scan streams loudly (coding/wire.py) — no check here, as
+        ``DeviceWireCodec`` inherits this method for its own wire."""
         y_strings, z_strings = strings
         B = len(y_strings)
         sizes = self._group_sizes(B, pipeline_groups)

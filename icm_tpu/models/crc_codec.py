@@ -201,7 +201,8 @@ class CRCCodec:
         from .base import sliding_support
 
         self._machine = _CharmLayerDriver(
-            model, self._scale_table_dev, _coder, "machine", narrow=narrow
+            model, self._scale_table_dev, _coder, "machine", narrow=narrow,
+            variables=variables, param_path=("machine", "coder"),
         )
         self._support = sliding_support(model.max_support)
 
@@ -426,12 +427,78 @@ class CRCCodec:
         return {"x_hat": x_hat, "y_hat": y_hat}
 
 
+def _coder_spec(model, variables, getter):
+    """(class, hashable field tuple) of the coder submodule. A twin
+    module rebuilt from this spec applies directly on the coder's param
+    SUBTREE, so the jitted stage functions below can live at module
+    scope: two layers with equal specs and shapes (stf13's machine and
+    seg; every stf9/11/12/14/oj machine layer across codecs) then share
+    ONE compiled executable per stage instead of per-driver twins —
+    the round-5 warmup cut (WARM_WARMUP_r04: stf13's residual was ~30
+    program loads at 2-3 s each over the remote-TPU tunnel)."""
+
+    def probe(m):
+        c = getter(m)
+        cfg = tuple(
+            (f, getattr(c, f))
+            for f in sorted(c.__dataclass_fields__)
+            if f not in ("parent", "name")
+        )
+        return type(c), cfg
+
+    return model.apply(variables, method=probe)
+
+
+def _subtree(variables, path):
+    p = variables["params"]
+    for k in path:
+        p = p[k]
+    return p
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _coder_scan_enc_front(cls, cfg, narrow, sub, y):
+    def f(m):
+        z = m.h_a(y)
+        med = m.eb_medians()
+        z_sym = enc_round(z - med, narrow).astype(jnp.int32)
+        return z_sym, jnp.stack(m.latent_slices(y), axis=0)
+
+    return cls(**dict(cfg)).apply({"params": sub}, method=f)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _coder_scan_state(cls, cfg, sub, z_sym):
+    def f(m):
+        z_hat = z_sym.astype(jnp.float32) + m.eb_medians()
+        st = m.ctx_prepare(z_hat)
+        return (
+            jnp.stack(st["means"], axis=0),
+            jnp.stack(st["scales"], axis=0),
+        )
+
+    return cls(**dict(cfg)).apply({"params": sub}, method=f)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _coder_scan_assemble(cls, cfg, sub, y_hats):
+    return cls(**dict(cfg)).apply(
+        {"params": sub}, method=lambda m: m.ctx_assemble(list(y_hats))
+    )
+
+
 class _CharmLayerDriver:
     """Jitted stage functions for one ZigzagCharmCoder-backed layer
-    reachable as ``getter(model)`` (e.g. ``lambda m: m.seg_coder``)."""
+    reachable as ``getter(model)`` (e.g. ``lambda m: m.seg_coder``).
+
+    When ``variables``+``param_path`` are given, the scan-wire stage
+    programs (scan_enc_front / scan_state / scan_assemble) dispatch to
+    the module-scope shared functions above (one executable per coder
+    spec, not per driver). The unrolled-protocol stages keep per-driver
+    closures — they are not on the warm-serving path."""
 
     def __init__(self, model, scale_table_dev, getter, name: str,
-                 narrow: float = 1.0):
+                 narrow: float = 1.0, variables=None, param_path=None):
         import functools
 
         self.model = model
@@ -547,9 +614,23 @@ class _CharmLayerDriver:
                 v, method=lambda m: getter(m).ctx_assemble(list(y_hats))
             )
 
-        self.scan_enc_front = scan_enc_front
-        self.scan_state = scan_state
-        self.scan_assemble = scan_assemble
+        if variables is not None and param_path is not None:
+            cls, cfg = _coder_spec(model, variables, getter)
+            path = tuple(param_path)
+            nar = float(narrow)
+            self.scan_enc_front = lambda v, y: _coder_scan_enc_front(
+                cls, cfg, nar, _subtree(v, path), y
+            )
+            self.scan_state = lambda v, z_sym: _coder_scan_state(
+                cls, cfg, _subtree(v, path), z_sym
+            )
+            self.scan_assemble = lambda v, y_hats: _coder_scan_assemble(
+                cls, cfg, _subtree(v, path), y_hats
+            )
+        else:
+            self.scan_enc_front = scan_enc_front
+            self.scan_state = scan_state
+            self.scan_assemble = scan_assemble
         self.eb_medians = eb_medians
         self.h_a = h_a
         self.ctx_prepare = ctx_prepare
@@ -635,10 +716,12 @@ class SegOjCodec:
             },
         )
         self.machine = _CharmLayerDriver(
-            model, st, lambda m: m.coder, "machine", narrow=narrow
+            model, st, lambda m: m.coder, "machine", narrow=narrow,
+            variables=variables, param_path=("coder",),
         )
         self.seg = _CharmLayerDriver(
-            model, st, lambda m: m.seg_coder, "seg", narrow=narrow
+            model, st, lambda m: m.seg_coder, "seg", narrow=narrow,
+            variables=variables, param_path=("seg_coder",),
         )
         self._support = sliding_support(model.max_support)
         mdl = model
@@ -833,10 +916,12 @@ class CRC3Codec:
             },
         )
         self.machine = _CharmLayerDriver(
-            model, st, lambda m: m.machine.coder, "machine", narrow=narrow
+            model, st, lambda m: m.machine.coder, "machine", narrow=narrow,
+            variables=variables, param_path=("machine", "coder"),
         )
         self.seg = _CharmLayerDriver(
-            model, st, lambda m: m.seg_coder, "seg", narrow=narrow
+            model, st, lambda m: m.seg_coder, "seg", narrow=narrow,
+            variables=variables, param_path=("seg_coder",),
         )
         self._support = sliding_support(model.max_support)
         mdl = model

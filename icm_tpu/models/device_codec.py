@@ -27,12 +27,24 @@ reference-interoperable host format — use ``CharmCodec(ref_layout=True)``
 for reference interchange.
 
 Wire layout per image, one bytes object per stream list entry:
+  magic "\\x93IW" | uint8 format | [uint8 tier — scan format only] |
   uint32 n_lanes | uint32 n_words | uint32 n_esc |
   uint16 lengths[n_lanes] | uint16 words[n_words] |
   int32 dest[n_esc] | int32 raw[n_esc]
 ``dest`` is the flat step-major position (t * n_lanes + lane) in the
 image-local decode grid of an escaped symbol whose raw 32-bit value is
 ``raw`` (see device_rans.fix_escapes).
+
+The leading 4 bytes tag the CONTEXT PROTOCOL the symbols were produced
+under, because streams from different protocols are not interchangeable
+even though the payload layout is shared: the scan wire's stacked
+fixed-width context reduces in a different float order than the unrolled
+per-slice programs (scan_codec.py module docstring), so cross-feeding
+decodes to silent garbage. The tag turns that into a loud
+``WireFormatError``. Host/reference rANS streams stay UNTAGGED — they
+must remain byte-identical to the reference coder's output
+(tests/test_reference_parity.py asserts cross-decodability against
+reference-format streams, reference entropy_models.py:203-290).
 """
 
 from __future__ import annotations
@@ -53,6 +65,14 @@ from ..coding.device_rans import (
     fix_escapes,
     lane_offsets,
 )
+from ..coding.wire import (  # noqa: F401  (re-exported for the wire users)
+    WIRE_DEVICE,
+    WIRE_MAGIC,
+    WIRE_SCAN,
+    WireFormatError,
+    reject_framework_wire,
+    wire_offset as _wire_offset,
+)
 from .codec import CharmCodec, enc_round
 
 
@@ -61,8 +81,9 @@ def _pack_wire(
     words: np.ndarray,
     dest: np.ndarray,
     raw: np.ndarray,
+    fmt: int = WIRE_DEVICE,
 ) -> bytes:
-    head = struct.pack(
+    head = WIRE_MAGIC + bytes([fmt]) + struct.pack(
         "<III", lengths.shape[0], words.shape[0], dest.shape[0]
     )
     return (
@@ -74,9 +95,10 @@ def _pack_wire(
     )
 
 
-def _unpack_wire(blob: bytes):
-    n_lanes, n_words, n_esc = struct.unpack_from("<III", blob, 0)
-    o = 12
+def _unpack_wire(blob, expect: int = WIRE_DEVICE, skip: int = 0):
+    o = _wire_offset(blob, expect) + skip
+    n_lanes, n_words, n_esc = struct.unpack_from("<III", blob, o)
+    o += 12
     lengths = np.frombuffer(blob, "<u2", count=n_lanes, offset=o).astype(
         np.int64
     )
@@ -311,12 +333,14 @@ class DeviceWireKit:
         enc = self._encode_z_fns[key](z_sym)
         return [_pack_wire(*p) for p in self.fetch_encoded(enc, z_sym.shape[0])]
 
-    def encode_y_stack(self, syms, idxs) -> List[bytes]:
+    def encode_y_stack(self, syms, idxs, fmt: int = WIRE_DEVICE) -> List[bytes]:
         """Stacked (N, B, h, w, sc) device symbols + scale indexes (the
-        scan codec's outputs) -> the standard y wire, one blob/image."""
+        scan codec's outputs) -> the standard y wire, one blob/image.
+        Scan wires pass ``fmt=WIRE_SCAN`` so their streams are tagged
+        with the context protocol that produced the symbols."""
         N, B, h, w, sc = syms.shape
         enc = self._encode_y_stack(syms, idxs, self.n_lanes(h, w))
-        return [_pack_wire(*p) for p in self.fetch_encoded(enc, B)]
+        return [_pack_wire(*p, fmt=fmt) for p in self.fetch_encoded(enc, B)]
 
     def encode_gaussian(self, sym, index) -> List[bytes]:
         """One-shot Gaussian-coded tensor: (B, h, w, C) int32 symbols +

@@ -249,14 +249,25 @@ class Stf3Codec:
         )
         sym, index = self._full_context(v, m_tok, s_tok, y_tok)
         if self.wire == "device":
-            from .device_codec import _pack_wire
+            from .device_codec import WIRE_SCAN, _pack_wire
+            from .scan_codec import _seg_esc_counts, _tier_for, _wrap_tier
 
+            B, N, D = sym.shape
             vals_T, rows_T = self._lane_layout(sym, index)
             enc = self.kit._encode_y(vals_T, rows_T)
-            y_strings = [
-                _pack_wire(*p)
-                for p in self.kit.fetch_encoded(enc, sym.shape[0])
+            blobs = [
+                _pack_wire(*p, fmt=WIRE_SCAN)
+                for p in self.kit.fetch_encoded(enc, B)
             ]
+            # Tier framing (scan_codec._StaticScanIO): the decoder's
+            # static escape caps come from the wire's tier byte. Encode
+            # here never consumes the caps (the causal pass is one-shot),
+            # so no re-run is needed — just pick the smallest
+            # sufficient tier for the emitted wire.
+            counts = _seg_esc_counts(blobs, D, 1, N)
+            y_strings = _wrap_tier(
+                blobs, _tier_for(int(counts.max()), B * D)
+            )
         else:
             sym_h = np.asarray(jax.device_get(sym))
             idx_h = np.asarray(jax.device_get(index))
@@ -337,7 +348,10 @@ class Stf3Codec:
 
         kit = self.kit
         v = self.variables
-        words32, off, esc_d, esc_r = _wire_inputs(kit, y_strings, N, B * D)
+        L = B * D  # one token step = one L-symbol wire segment
+        words32, off, esc_d, esc_r = _wire_inputs(
+            kit, y_strings, N, L, L, N * L
+        )
         st, pt = self._wire_init(words32, off)
         y_buf = jnp.zeros((B, N, D), jnp.float32)
         for i in range(N):

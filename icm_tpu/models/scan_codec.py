@@ -41,6 +41,7 @@ import numpy as np
 from ..coding.device_rans import decode_lanes, fix_escapes, init_lanes
 from ..entropy import build_indexes
 from .cnn import stack_charm_params
+from .device_codec import WIRE_SCAN
 from .codec import enc_round
 from .zigzag_coder import stack_zigzag_params
 
@@ -134,11 +135,11 @@ def _seg_esc_counts(blobs, n_l_img: int, steps_per_seg: int, n_segs: int):
     ``t * n_l + lane``; the global segment of step ``t`` is
     ``t // steps_per_seg``. Encoder and decoder run this SAME function on
     the SAME bytes, so both pick the same tier."""
-    from .device_codec import _unpack_wire
+    from .device_codec import WIRE_SCAN, _unpack_wire
 
     counts = np.zeros((n_segs,), np.int64)
     for blob in blobs:
-        _, _, dest, _ = _unpack_wire(blob)
+        _, _, dest, _ = _unpack_wire(blob, WIRE_SCAN)
         if dest.shape[0]:
             seg = (dest // n_l_img) // steps_per_seg
             counts += np.bincount(seg, minlength=n_segs)[:n_segs]
@@ -146,10 +147,11 @@ def _seg_esc_counts(blobs, n_l_img: int, steps_per_seg: int, n_segs: int):
 
 
 def _wrap_tier(blobs: List[bytes], tier: int) -> List[bytes]:
-    """Scan-wire framing: one leading tier byte per blob (the escape-cap
-    tier the stream was ENCODED under — the decoder must build its
-    program inputs at the same tier to run the same executable)."""
-    return [bytes([tier]) + b for b in blobs]
+    """Scan-wire framing: one tier byte per blob after the 4-byte wire
+    tag (the escape-cap tier the stream was ENCODED under — the decoder
+    must build its program inputs at the same tier to run the same
+    executable)."""
+    return [b[:4] + bytes([tier]) + b[4:] for b in blobs]
 
 
 def _wire_inputs(kit, blobs, n_segs: int, seg_size: int,
@@ -157,14 +159,15 @@ def _wire_inputs(kit, blobs, n_segs: int, seg_size: int,
     """Decode-side wire prep with a fully STATIC program signature:
     -> (words32 (w_cap,), off (lanes,), esc_d/esc_r (n_segs, cap))."""
     from ..coding.device_rans import lane_offsets
-    from .device_codec import _unpack_wire
+    from .device_codec import WIRE_SCAN, _unpack_wire, _wire_offset
 
-    tier = blobs[0][0]
+    _wire_offset(blobs[0], WIRE_SCAN)
+    tier = blobs[0][4]
     offs, words, dests, raws = [], [], [], []
     base = 0
     B = len(blobs)
     for b, blob in enumerate(blobs):
-        lengths, w, dest, raw = _unpack_wire(memoryview(blob)[1:])
+        lengths, w, dest, raw = _unpack_wire(blob, WIRE_SCAN, skip=1)
         n_l_img = lengths.shape[0]
         offs.append(lane_offsets(lengths) + base)
         base += int(w.shape[0])
@@ -241,6 +244,82 @@ class _StaticScanIO:
             tier = need
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _zigzag_scan_program(Wc, ms, lrp, narrow, lanes_per_image,
+                         gdev, scale_table_dev, p_xs,
+                         means_stack, scales_stack, y_stack,
+                         words, off, esc_d, esc_r, is_enc):
+    """The shared zigzag scan executable (see ZigzagScanWire). Module
+    scope so distinct wire instances with equal statics+shapes reuse ONE
+    compiled program — stf13's machine and seg layers, and the machine
+    layers of stf9/11/12/14/oj/seg_oj across codecs."""
+    N_, B, h, w, sc_ = y_stack.shape
+    n_l = min(lanes_per_image, h * w)
+    while (h * w) % n_l:
+        n_l -= 1
+    L = B * n_l
+    ppl = (h * w) // n_l
+    buf0 = jnp.zeros((B, h, w, ms * sc_), y_stack.dtype)
+    state0, ptr0 = init_lanes(words, off)
+
+    def step(carry, xs):
+        i, buf, st, pt = carry
+        p_i, y_i, ed, er = xs
+        s = jnp.minimum(i, N_ - Wc)
+        win_m = jax.lax.dynamic_slice_in_dim(means_stack, s, Wc, 0)
+        win_s = jax.lax.dynamic_slice_in_dim(scales_stack, s, Wc, 0)
+        cm = jnp.moveaxis(win_m, 0, 3).reshape(B, h, w, Wc * sc_)
+        cs = jnp.moveaxis(win_s, 0, 3).reshape(B, h, w, Wc * sc_)
+        mean_support = jnp.concatenate([cm, buf], axis=-1)
+        mu = _cc_apply(p_i["cc_mean"], mean_support)
+        scale = _cc_apply(
+            p_i["cc_scale"], jnp.concatenate([cs, buf], axis=-1)
+        )
+        index = build_indexes(scale, scale_table_dev)
+        rows = (
+            index.reshape(B, n_l, ppl, sc_)
+            .transpose(2, 3, 0, 1)
+            .reshape(ppl * sc_, L)
+        )
+
+        def enc_fn(op):
+            st, pt = op
+            sym = enc_round(y_i - mu, narrow).astype(jnp.int32)
+            return sym, st, pt
+
+        def dec_fn(op):
+            st, pt = op
+            vals, st2, pt2 = decode_lanes(
+                words, off, rows, gdev, state=st, ptr=pt
+            )
+            vals = fix_escapes(vals, ed, er)
+            sym = (
+                vals.reshape(ppl, sc_, B, n_l)
+                .transpose(2, 3, 0, 1)
+                .reshape(B, h, w, sc_)
+            )
+            return sym, st2, pt2
+
+        sym, st, pt = jax.lax.cond(is_enc, enc_fn, dec_fn, (st, pt))
+        y_hat = sym.astype(mu.dtype) + mu
+        if lrp:
+            lrp_in = jnp.concatenate([mean_support, y_hat], axis=-1)
+            y_hat = y_hat + 0.5 * jnp.tanh(
+                _cc_apply(p_i["lrp"], lrp_in)
+            )
+        buf = jnp.concatenate([buf[..., sc_:], y_hat], axis=-1)
+        return (i + 1, buf, st, pt), (
+            y_hat, sym, index.astype(jnp.uint8)
+        )
+
+    (_, _, st, pt), (y_hats, syms, idxs) = jax.lax.scan(
+        step,
+        (jnp.int32(0), buf0, state0, ptr0),
+        (p_xs, y_stack, esc_d, esc_r),
+    )
+    return y_hats, syms, idxs
+
+
 class ZigzagScanWire(_StaticScanIO):
     """Scan-codec driver for one ``ZigzagCharmCoder`` layer.
 
@@ -276,79 +355,17 @@ class ZigzagScanWire(_StaticScanIO):
                 apply_lrp=bool(apply_lrp),
             )["zz_scan"]
         )
-        gdev = kit.gauss_dev
-        ms = int(max_sup)
-        lrp = bool(apply_lrp)
-        n_cap = self.N
-
-        @jax.jit
-        def program(gdev, p_xs, means_stack, scales_stack, y_stack,
-                    words, off, esc_d, esc_r, is_enc):
-            N_, B, h, w, sc_ = y_stack.shape
-            n_l = kit.n_lanes(h, w)
-            L = B * n_l
-            ppl = (h * w) // n_l
-            buf0 = jnp.zeros((B, h, w, ms * sc_), y_stack.dtype)
-            state0, ptr0 = init_lanes(words, off)
-
-            def step(carry, xs):
-                i, buf, st, pt = carry
-                p_i, y_i, ed, er = xs
-                s = jnp.minimum(i, N_ - Wc)
-                win_m = jax.lax.dynamic_slice_in_dim(means_stack, s, Wc, 0)
-                win_s = jax.lax.dynamic_slice_in_dim(scales_stack, s, Wc, 0)
-                cm = jnp.moveaxis(win_m, 0, 3).reshape(B, h, w, Wc * sc_)
-                cs = jnp.moveaxis(win_s, 0, 3).reshape(B, h, w, Wc * sc_)
-                mean_support = jnp.concatenate([cm, buf], axis=-1)
-                mu = _cc_apply(p_i["cc_mean"], mean_support)
-                scale = _cc_apply(
-                    p_i["cc_scale"], jnp.concatenate([cs, buf], axis=-1)
-                )
-                index = build_indexes(scale, scale_table_dev)
-                rows = (
-                    index.reshape(B, n_l, ppl, sc_)
-                    .transpose(2, 3, 0, 1)
-                    .reshape(ppl * sc_, L)
-                )
-
-                def enc_fn(op):
-                    st, pt = op
-                    sym = enc_round(y_i - mu, narrow).astype(jnp.int32)
-                    return sym, st, pt
-
-                def dec_fn(op):
-                    st, pt = op
-                    vals, st2, pt2 = decode_lanes(
-                        words, off, rows, gdev, state=st, ptr=pt
-                    )
-                    vals = fix_escapes(vals, ed, er)
-                    sym = (
-                        vals.reshape(ppl, sc_, B, n_l)
-                        .transpose(2, 3, 0, 1)
-                        .reshape(B, h, w, sc_)
-                    )
-                    return sym, st2, pt2
-
-                sym, st, pt = jax.lax.cond(is_enc, enc_fn, dec_fn, (st, pt))
-                y_hat = sym.astype(mu.dtype) + mu
-                if lrp:
-                    lrp_in = jnp.concatenate([mean_support, y_hat], axis=-1)
-                    y_hat = y_hat + 0.5 * jnp.tanh(
-                        _cc_apply(p_i["lrp"], lrp_in)
-                    )
-                buf = jnp.concatenate([buf[..., sc_:], y_hat], axis=-1)
-                return (i + 1, buf, st, pt), (
-                    y_hat, sym, index.astype(jnp.uint8)
-                )
-
-            (_, _, st, pt), (y_hats, syms, idxs) = jax.lax.scan(
-                step,
-                (jnp.int32(0), buf0, state0, ptr0),
-                (p_xs, y_stack, esc_d, esc_r),
-            )
-            return y_hats, syms, idxs
-
-        self._program = functools.partial(program, kit.gauss_dev)
+        # ONE jit callable at module scope for every ZigzagScanWire
+        # instance: layers with equal statics and shapes (e.g. stf13's
+        # machine and seg coders) share a single executable instead of
+        # compiling/loading per-instance twins (round-5 warmup cut;
+        # NOTES_ROUND4.md budget: ~2-3 s per extra program over the
+        # remote-TPU tunnel even on a warm persistent cache).
+        self._program = functools.partial(
+            _zigzag_scan_program,
+            self.Wc, int(max_sup), bool(apply_lrp), float(narrow),
+            int(kit.lanes_per_image), kit.gauss_dev, scale_table_dev,
+        )
 
     # --- helpers -----------------------------------------------------------
     def _layout(self, B: int, h: int, w: int, sc: int):
@@ -372,7 +389,7 @@ class ZigzagScanWire(_StaticScanIO):
                 self._stacked, means, scales, y_stack,
                 *inputs, jnp.bool_(True),
             )
-            return y_hats, self.kit.encode_y_stack(syms, idxs)
+            return y_hats, self.kit.encode_y_stack(syms, idxs, fmt=WIRE_SCAN)
 
         blobs, y_hats = self._encode_tiered(
             run_pack, L, self.N * seg, seg, n_l, Ts
@@ -538,7 +555,7 @@ class ZigzagSwinScanWire(_StaticScanIO):
                 self._stacked, cond_m, cond_s, y_stack,
                 *inputs, jnp.bool_(True),
             )
-            return y_hats, self.kit.encode_y_stack(syms, idxs)
+            return y_hats, self.kit.encode_y_stack(syms, idxs, fmt=WIRE_SCAN)
 
         blobs, y_hats = self._encode_tiered(
             run_pack, L, self.N * seg, seg, n_l, Ts
@@ -653,7 +670,7 @@ class Stf2ScanWire(_StaticScanIO):
 
     def encode(self, variables, m_win, s_win, y_tok):
         """-> (wire blobs per image, token list for assembly)."""
-        from .device_codec import _pack_wire
+        from .device_codec import WIRE_SCAN, _pack_wire
 
         B, N, D = y_tok.shape
         self.N = N  # _enc_inputs/_encode_tiered key on the segment count
@@ -667,7 +684,8 @@ class Stf2ScanWire(_StaticScanIO):
             vals_T, rows_T = self._lane_layout(syms, idxs)
             enc = self.kit._encode_y(vals_T, rows_T)
             return toks, [
-                _pack_wire(*p) for p in self.kit.fetch_encoded(enc, B)
+                _pack_wire(*p, fmt=WIRE_SCAN)
+                for p in self.kit.fetch_encoded(enc, B)
             ]
 
         blobs, toks = self._encode_tiered(run_pack, L, N * L, L, D, 1)
@@ -795,7 +813,7 @@ class CzigzagScanWire(_StaticScanIO):
                 self._stacked, means, scales, hctx, y_stack,
                 *inputs, jnp.bool_(True),
             )
-            return y_hats, self.kit.encode_y_stack(syms, idxs)
+            return y_hats, self.kit.encode_y_stack(syms, idxs, fmt=WIRE_SCAN)
 
         blobs, y_hats = self._encode_tiered(
             run_pack, L, self.N * seg, seg, n_l, Ts
@@ -936,7 +954,7 @@ class CharmScanWire(_StaticScanIO):
                 self._stacked, state["means"], state["scales"], y_stack,
                 *inputs, jnp.bool_(True),
             )
-            return y_hats, self.kit.encode_y_stack(syms, idxs)
+            return y_hats, self.kit.encode_y_stack(syms, idxs, fmt=WIRE_SCAN)
 
         blobs, y_hats = self._encode_tiered(
             run_pack, L, self.N * seg, seg, n_l, Ts

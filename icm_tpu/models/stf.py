@@ -129,6 +129,11 @@ class SymmetricalTransFormer(CompressionModel):
     hyper_enc_widths: Tuple[int, ...] = (384, 336, 288, 240, 192)
     hyper_dec_widths: Tuple[int, ...] = (240, 288, 336, 384, 384)
     cc_widths: Tuple[int, ...] = (224, 176, 128, 64)
+    # scan_charm=True runs the 12-slice AR loop as ONE lax.scan with
+    # stacked per-slice weights (see cnn.charm_scan_forward) — the
+    # training configuration; the unrolled path remains the protocol the
+    # real-bitstream coder drives.
+    scan_charm: bool = False
 
     @property
     def max_support_slices(self) -> int:
@@ -173,6 +178,14 @@ class SymmetricalTransFormer(CompressionModel):
         ]
         self.entropy_bottleneck = EntropyBottleneck(self.hyper_enc_widths[-1])
         self.gaussian_conditional = GaussianConditional()
+
+    @nn.compact
+    def __call__(self, x, training: bool = True):
+        if not self.scan_charm:
+            return super().__call__(x, training=training)
+        from .cnn import charm_scan_forward
+
+        return charm_scan_forward(self, x, training)
 
     # --- ChARM protocol (see base.CompressionModel) ------------------------
     def analyze(self, x, training: bool = False):

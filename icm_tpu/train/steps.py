@@ -29,9 +29,12 @@ def make_train_step(
     extra = dict(extra_vars or {})
 
     def loss_fn(params, batch, rng):
+        # "dropout" serves stochastic-depth/dropout in the transform
+        # stacks (stf's DropPath — swin.py); models without those simply
+        # never pull it (flax ignores unused rng collections).
         out = model.apply(
             {"params": params, **extra}, batch, training=True,
-            rngs={"noise": rng},
+            rngs={"noise": rng, "dropout": jax.random.fold_in(rng, 1)},
         )
         rd = criterion(out, batch)
         aux = model.apply({"params": params, **extra}, method=model.aux_loss)

@@ -31,8 +31,13 @@ def compiled_costs(compiled) -> Optional[Dict[str, float]]:
         return None
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
-    if not isinstance(ca, dict) or "flops" not in ca:
+    if not isinstance(ca, dict) or not ca:
         return None
+    # Pure data-movement programs (e.g. the codec's latent split —
+    # reshape/slice only) legitimately report no "flops" key; they still
+    # move HBM bytes, which is exactly what the roofline must charge.
+    # Rejecting them left BENCH_r04's enc_roofline with an
+    # unpriced_stages entry and silently understated encode HBM traffic.
     return {
         "flops": float(ca.get("flops", 0.0)),
         "bytes": float(ca.get("bytes accessed", 0.0)),

@@ -60,8 +60,30 @@ def make_visualizer(args):
     return Visualizer(logdir=args.vis_dir, env=args.model)
 
 
+def enable_compile_cache():
+    """Persistent compile cache (same config as bench.py): full-size
+    train graphs take minutes to compile over the remote-TPU tunnel;
+    caching makes a resumed/re-lambda'd run start in seconds."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.expanduser("~"), ".cache", "jax_icm_tpu"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0
+        )
+    except Exception:
+        pass
+
+
 def apply_precision(args):
-    """Apply --bf16 before any model tracing."""
+    """Apply --bf16 before any model tracing (also enables the
+    persistent compile cache — every trainer calls this first)."""
+    enable_compile_cache()
     if getattr(args, "bf16", False):
         import jax.numpy as jnp
 

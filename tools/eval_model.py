@@ -159,12 +159,13 @@ def descan_for_codec(model, variables):
     if "charm_scan" in params:
         from icm_tpu.models.cnn import unstack_charm_params
 
+        latent = getattr(model, "M", None) or model.latent_dim  # stf: 384
         p = dict(params)
         p.update(
             unstack_charm_params(
                 {"charm_scan": p.pop("charm_scan")},
                 model.num_slices,
-                model.M // model.num_slices,
+                latent // model.num_slices,
                 model.max_support_slices,
                 model.hyper_dec_widths[-1],
             )
