@@ -54,7 +54,7 @@ class Stf3Codec:
     link round-trips (the host wire pays one per token)."""
 
     def __init__(self, model, variables, tables: CodecTables | None = None,
-                 wire: str = "host"):
+                 wire: str = "host", latent_scale: float = 1.0):
         from .masked_ctx import ClipEncoder3
 
         # stf3's reference block mask is causal (hyper rows see hyper
@@ -72,6 +72,7 @@ class Stf3Codec:
             )
         self.model = model
         self.variables = variables
+        self.latent_scale = float(latent_scale)
         self.tables = tables or build_codec_tables(model, variables)
         if wire not in ("host", "device"):
             raise ValueError(f"wire must be 'host' or 'device', got {wire!r}")
@@ -232,6 +233,17 @@ class Stf3Codec:
     def compress(self, x, return_debug: bool = False) -> Dict[str, Any]:
         v = self.variables
         y, z = self._analyze(v, x)
+        if self.latent_scale != 1.0:
+            # Trained-like symbol statistics for untrained-weight benches
+            # (bench_matrix --narrow analog). The per-symbol narrowing the
+            # other codecs use cannot apply here: the teacher-forced
+            # context is conditioned on round(y) itself, so sym must stay
+            # exactly round(y_tok) - round(mu) or the decoder's
+            # reconstructed context desyncs. Scaling the LATENT before
+            # tokenization narrows the symbols while every context input
+            # still derives from the coded tokens on both sides.
+            y = y * self.latent_scale
+            z = z * self.latent_scale
         med = self._eb_medians(v)
         if self.wire == "device":
             z_sym_dev = self._z_symbols_dev(v, z)

@@ -46,6 +46,7 @@ from eval_model import build_codec  # noqa: E402
 # run at the 256px config the round-2 rows used.
 FAMILIES = {
     "cnn": (256, 4),
+    "cnn2": (256, 4),
     "stf": (256, 4),
     "stf2": (128, 4),
     "stf3": (128, 4),
@@ -56,12 +57,24 @@ FAMILIES = {
     "stf8": (256, 4),
     "czigzag": (256, 4),
     "stf9": (256, 4),
+    "stf10": (256, 4),
+    "stf11": (256, 4),
     "stf12": (256, 4),
     "stf13": (256, 4),
     "stf14": (256, 4),
     "oj_ICM": (256, 4),
     "seg_oj_ICM": (256, 4),
 }
+
+# ICM families whose task heads do not participate in the codec path:
+# build codec-only so a full-size RetinaNet/DeepLab student is not
+# initialized just to time the coder (the wire numbers are identical —
+# the task net only consumes x_hat after decode).
+_NO_TASK_NET = {"cnn2", "stf10"}
+
+
+class _Narrowed(Exception):
+    """Control-flow marker: codec already rebuilt with narrowing."""
 
 
 def sync_scalar(a) -> float:
@@ -71,12 +84,21 @@ def sync_scalar(a) -> float:
 def bench_family(
     name: str, size: int, batch: int, iters: int, narrow: float = 1.0,
     wire: str = "host", scan_wire: bool = False,
+    checkpoint: str | None = None, model_kwargs: dict | None = None,
 ) -> dict:
     from icm_tpu.models import create_model
 
+    if scan_wire and name in ("stf2", "stf3", "stf4"):
+        # the token-AR device wire already IS the one-program scan
+        # design (masked_codec/Stf2ScanWire); there is no separate
+        # scan_wire flag for these kinds
+        scan_wire = False
     # stf4's real coder needs the causal completion (the reference mask
     # degenerates at token 0 — ClipEncoder4 docstring)
     kwargs = {"causal": True} if name == "stf4" else {}
+    if name in _NO_TASK_NET:
+        kwargs["with_task_net"] = False
+    kwargs.update(model_kwargs or {})
     model = create_model(name, **kwargs)
     # stf5-8: the UNROLLED forward graph overflows the remote compile
     # helper (bench.py) — init the scanned variant; the codec below gets
@@ -102,6 +124,16 @@ def bench_family(
     else:
         variables = jax.jit(model.init)(init_rngs, x)
     jax.block_until_ready(variables)
+    if checkpoint:
+        # trained-statistics row: params from a TPU training run (the
+        # model_kwargs must match the training parameterization, e.g.
+        # {"scan_charm": true} — build_codec descans transparently)
+        from icm_tpu.train import TrainState, load_checkpoint, make_optimizer
+
+        state = TrainState.create(variables["params"], make_optimizer())
+        state, _ = load_checkpoint(checkpoint, target=state)
+        variables = dict(variables)
+        variables["params"] = jax.device_put(jax.device_get(state.params))
 
     if name == "czigzag":
         from icm_tpu.models.crc_codec import CzigzagCodec
@@ -123,16 +155,25 @@ def bench_family(
                     wire_kw = {"scan_wire": scan_wire}
                 elif kind == "stf2":
                     wire_kw = {"wire": wire}
+                elif kind == "masked":
+                    # teacher-forced one-shot encoders cannot narrow
+                    # per-symbol (context is conditioned on round(y)
+                    # itself); latent pre-scaling narrows the symbol
+                    # statistics equivalently (masked_codec.py)
+                    codec = type(codec)(
+                        codec.model, codec.variables, tables=codec.tables,
+                        wire=wire, latent_scale=narrow,
+                    )
+                    raise _Narrowed
                 else:
                     wire_kw = {}
                 codec = type(codec)(
                     codec.model, codec.variables,
                     tables=codec.tables, narrow=narrow, **wire_kw,
                 )
+            except _Narrowed:
+                pass
             except TypeError:
-                # teacher-forced one-shot encoders (stf3/stf4) cannot
-                # narrow naively — their context is conditioned on the
-                # TRUE token sequence, not sym+mu (masked_codec.py)
                 narrow = 1.0
 
     def decompress(enc):
@@ -198,6 +239,11 @@ def bench_family(
         "n_streams": n_streams,
         "warmup_s": round(t_first, 1),
         "backend": jax.default_backend(),
+        **(
+            {"checkpoint": os.path.basename(os.path.normpath(checkpoint)),
+             "stats": "trained"}
+            if checkpoint else {}
+        ),
     }
 
 
@@ -206,7 +252,7 @@ def main():
     ap.add_argument("--families", default=",".join(FAMILIES))
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument(
-        "--out", default=os.path.join(REPO, "BENCH_MATRIX_r04.json")
+        "--out", default=os.path.join(REPO, "BENCH_MATRIX_r05.json")
     )
     ap.add_argument(
         "--wire", default="host", choices=("host", "device"),
@@ -222,6 +268,25 @@ def main():
         help="CRC-family kinds: one-lax.scan AR codec (scan_codec.py); "
         "implies --wire device",
     )
+    ap.add_argument(
+        "--size", type=int, default=None,
+        help="override the per-family image size (e.g. 512 for the "
+        "north-star resolution rows — VERDICT r4 #7)",
+    )
+    ap.add_argument(
+        "--batch", type=int, default=None,
+        help="override the per-family batch size",
+    )
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="orbax training checkpoint: row runs TRAINED statistics "
+        "(set --model-kwargs to the training parameterization)",
+    )
+    ap.add_argument(
+        "--model-kwargs", default=None,
+        help='JSON dict of model constructor overrides, e.g. '
+        '\'{"scan_charm": true}\'',
+    )
     ns = ap.parse_args()
     if ns.scan_wire:
         ns.wire = "device"
@@ -229,16 +294,25 @@ def main():
     rows = []
     if os.path.exists(ns.out):
         rows = json.load(open(ns.out))
-    done = {(r["model"], r.get("wire", "host")) for r in rows}
+    done = {
+        (r["model"], r.get("wire", "host"), r.get("size"))
+        for r in rows
+    }
     for name in ns.families.split(","):
-        if (name, wire_tag) in done:
+        size, batch = FAMILIES[name]
+        size = ns.size or size
+        batch = ns.batch or batch
+        if (name, wire_tag, size) in done:
             print(f"skip {name} (already recorded)", flush=True)
             continue
-        size, batch = FAMILIES[name]
         try:
+            import json as _json
+
             row = bench_family(
                 name, size, batch, ns.iters, ns.narrow, ns.wire,
-                ns.scan_wire,
+                ns.scan_wire, checkpoint=ns.checkpoint,
+                model_kwargs=_json.loads(ns.model_kwargs)
+                if ns.model_kwargs else None,
             )
         except Exception as e:
             row = {"model": name, "error": repr(e)}
