@@ -70,6 +70,19 @@ def deconv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.ConvTrans
     )
 
 
+def _trunc_dense(*args, **kwargs):
+    """Dense with the reference's Swin init (trunc_normal std=0.02 on
+    every Linear weight, zero bias — reference stf.py _init_weights).
+    Flax's lecun_normal default is ~2.5x larger at these widths; the
+    smaller identity-like start measurably stabilizes from-scratch
+    training of the deep residual stacks (round-5 finding: lecun-init
+    stf collapsed its latent within one epoch at lmbda=0.0067)."""
+    kwargs.setdefault(
+        "kernel_init", nn.initializers.truncated_normal(0.02)
+    )
+    return nn.Dense(*args, **kwargs)
+
+
 class SubpelConv(nn.Module):
     """3x3 conv + depth-to-space upsample (reference subpel_conv3x3,
     ``layers/layers.py:33-38``). Preferred upsampler on TPU."""
@@ -214,7 +227,7 @@ class WindowAttention(nn.Module):
         head_dim = C // nh
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv = nn.Dense(
+        qkv = _trunc_dense(
             C * 3, use_bias=self.qkv_bias, name="qkv",
             dtype=activation_dtype(),
         )(x)
@@ -249,7 +262,7 @@ class WindowAttention(nn.Module):
             cls_idx = jnp.tile(jnp.asarray(cls_per_window, jnp.int32), (B,))
             out = window_attention_fused(q, k, v, bias_cls, cls_idx)
             out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-            return nn.Dense(C, name="proj", dtype=activation_dtype())(out)
+            return _trunc_dense(C, name="proj", dtype=activation_dtype())(out)
 
         qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -269,7 +282,7 @@ class WindowAttention(nn.Module):
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(C, name="proj", dtype=activation_dtype())(out)
+        return _trunc_dense(C, name="proj", dtype=activation_dtype())(out)
 
 
 class WinBasedAttention(nn.Module):

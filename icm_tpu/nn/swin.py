@@ -47,15 +47,28 @@ from .layers import (
 )
 
 
+def _trunc_dense(*args, **kwargs):
+    """Dense with the reference's Swin init (trunc_normal std=0.02 on
+    every Linear weight, zero bias — reference stf.py _init_weights).
+    Flax's lecun_normal default is ~2.5x larger at these widths; the
+    smaller identity-like start measurably stabilizes from-scratch
+    training of the deep residual stacks (round-5 finding: lecun-init
+    stf collapsed its latent within one epoch at lmbda=0.0067)."""
+    kwargs.setdefault(
+        "kernel_init", nn.initializers.truncated_normal(0.02)
+    )
+    return nn.Dense(*args, **kwargs)
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=activation_dtype())(x)
+        x = _trunc_dense(self.hidden, dtype=activation_dtype())(x)
         x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(self.out, dtype=activation_dtype())(x)
+        return _trunc_dense(self.out, dtype=activation_dtype())(x)
 
 
 class DropPath(nn.Module):
@@ -143,7 +156,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = nn.LayerNorm(epsilon=1e-5)(x)
-        return nn.Dense(2 * C, use_bias=False, dtype=activation_dtype())(x)
+        return _trunc_dense(2 * C, use_bias=False, dtype=activation_dtype())(x)
 
 
 class PatchSplit(nn.Module):
@@ -155,7 +168,7 @@ class PatchSplit(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         x = nn.LayerNorm(epsilon=1e-5)(x)
-        x = nn.Dense(2 * C, use_bias=False, dtype=activation_dtype())(x)
+        x = _trunc_dense(2 * C, use_bias=False, dtype=activation_dtype())(x)
         # depth-to-space r=2 (PixelShuffle semantics)
         x = x.reshape(B, H, W, C // 2, 2, 2)
         x = x.transpose(0, 1, 4, 2, 5, 3)
@@ -234,10 +247,10 @@ class CrossWindowAttention(nn.Module):
         B_, N, C = x.shape
         nh = self.num_heads
         hd = C // nh
-        q = nn.Dense(
+        q = _trunc_dense(
             C, use_bias=self.qkv_bias, name="q", dtype=activation_dtype()
         )(x)
-        kv = nn.Dense(
+        kv = _trunc_dense(
             2 * C, use_bias=self.qkv_bias, name="kv", dtype=activation_dtype()
         )(context)
         q = q.reshape(B_, N, nh, hd).transpose(0, 2, 1, 3)
@@ -265,7 +278,7 @@ class CrossWindowAttention(nn.Module):
         )
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(C, name="proj", dtype=activation_dtype())(out)
+        return _trunc_dense(C, name="proj", dtype=activation_dtype())(out)
 
 
 class SwinBlockCross(nn.Module):
