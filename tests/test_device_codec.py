@@ -166,18 +166,18 @@ def test_scan_wire_escape_tier_ladder(setup):
         model, variables, lanes_per_image=4, scan_wire=True
     )
     enc = scan.compress(x, return_debug=True)
-    tiers = {blob[0] for blob in enc["strings"][0]}
+    tiers = {blob[4] for blob in enc["strings"][0]}  # magic+fmt, then tier
     assert len(tiers) == 1, tiers
     tier = tiers.pop()
     assert tier > 0, "input did not stress the escape channel"
     # the wire's escape counts must fit the stamped tier's cap
-    from icm_tpu.models.device_codec import _unpack_wire
+    from icm_tpu.models.device_codec import WIRE_SCAN, _unpack_wire
 
     h = w = 128 // 16
     n_l = 4
     seg = (h * w // n_l) * (model.M // model.ctx_slices) * 2 * n_l
     for blob in enc["strings"][0]:
-        _, _, dest, _ = _unpack_wire(memoryview(blob)[1:])
+        _, _, dest, _ = _unpack_wire(blob, WIRE_SCAN, skip=1)
         assert dest.shape[0] <= model.ctx_slices * _esc_tier_cap(seg, tier)
     dec = scan.decompress(enc["strings"], enc["shape"])
     np.testing.assert_array_equal(
