@@ -50,8 +50,12 @@ def _ssim_components(a, b, max_val: float):
     C2 = (0.03 * max_val) ** 2
     mu_a, mu_b = filt(a), filt(b)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    s_aa = filt(a * a) - mu_aa
-    s_bb = filt(b * b) - mu_bb
+    # E[x^2] - mu^2 cancels catastrophically on near-constant regions and
+    # can come out (slightly) negative in f32; a negative variance in the
+    # denominator inflates cs past 1 (observed 1.07 on a flat-gradient
+    # image), so clamp the variance estimates — covariance keeps its sign.
+    s_aa = jnp.maximum(filt(a * a) - mu_aa, 0.0)
+    s_bb = jnp.maximum(filt(b * b) - mu_bb, 0.0)
     s_ab = filt(a * b) - mu_ab
     cs = (2 * s_ab + C2) / (s_aa + s_bb + C2)
     ssim = ((2 * mu_ab + C1) / (mu_aa + mu_bb + C1)) * cs

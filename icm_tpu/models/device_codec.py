@@ -542,6 +542,10 @@ class DeviceWireCodec(CharmCodec):
                 self.model, self.variables, self.kit,
                 self._scale_table_dev, narrow=self.narrow,
             )
+            # SPMD: the wire canonicalizes its program inputs' shardings
+            # so both coder sides run ONE executable (scan_codec
+            # _StaticScanIO._shard_batch rationale)
+            self._scan.sharding = self.data_sharding
             mdl = self.model
             narrow_f = self.narrow
 
@@ -588,6 +592,17 @@ class DeviceWireCodec(CharmCodec):
             out["z_hat"] = pend["z_hat"]
         return out
 
+    def _put_data(self, a):
+        """Canonicalize a (B, ...) array to the codec's data sharding.
+        Under SPMD the encoder derives z_sym from the sharded input while
+        the decoder's comes from the (replicated) wire upload — without
+        this, the shared conditioning program compiles per-sharding twins
+        whose float outputs differ between coder sides and the scan
+        desyncs (caught by dryrun_multichip's sharded scan roundtrip)."""
+        if self.data_sharding is None:
+            return a
+        return jax.device_put(a, self.data_sharding)
+
     def _compress_group_scan(
         self, x, return_debug: bool = False
     ) -> Dict[str, Any]:
@@ -596,6 +611,7 @@ class DeviceWireCodec(CharmCodec):
         the whole AR loop as the shared one-compile scan program."""
         v = self.variables
         z_sym, y_slices = self._scan_enc_front(v, x)
+        z_sym = self._put_data(z_sym)
         z_strings = self.kit.encode_z(z_sym, "entropy_bottleneck")
         state = self._scan_state(v, z_sym)
         y_strings, y_hat_slices = self._scan.encode(state, y_slices)
@@ -646,7 +662,9 @@ class DeviceWireCodec(CharmCodec):
     ) -> Dict[str, Any]:
         v = self.variables
         zh, zw = shape
-        z_sym = self.kit.decode_z(z_strings, zh, zw, "entropy_bottleneck")
+        z_sym = self._put_data(
+            self.kit.decode_z(z_strings, zh, zw, "entropy_bottleneck")
+        )
         state = self._scan_state(v, z_sym)
         y_hat_slices = self._scan.decode(y_strings, state)
         y_hat, x_hat = self._assemble_synthesize(v, y_hat_slices)

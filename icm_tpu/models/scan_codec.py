@@ -203,6 +203,15 @@ def _wire_inputs(kit, blobs, n_segs: int, seg_size: int,
 class _StaticScanIO:
     """Encode-side static-signature plumbing shared by every scan wire.
 
+    ``sharding``: optional batch ``NamedSharding`` (set by codecs running
+    under a mesh). The shared scan program is only bit-identical between
+    coder sides if BOTH call it with identical input shardings — under
+    SPMD the encoder's floats arrive batch-sharded while the decoder's
+    are derived from the replicated wire upload, and per-sharding
+    executable twins reduce in different float orders (desync caught by
+    dryrun_multichip's sharded scan roundtrip). ``_shard_batch`` and
+    ``_replicated`` canonicalize both sides onto one signature.
+
     ``_encode_tiered`` runs the shared program with tier-0 escape-cap
     dummies, checks the emitted wire's per-segment escape counts against
     the tier cap, and — only on overflow — re-runs at the smallest
@@ -211,6 +220,32 @@ class _StaticScanIO:
     The loop is monotone over a 3-tier ladder whose last cap is the full
     segment, so it terminates in <= 3 runs; tier > 0 only occurs at
     escape rates beyond ~1.5% of symbols (untrained-weight statistics)."""
+
+    sharding = None  # batch NamedSharding, set by the owning codec
+
+    def _shard_batch(self, a, batch_axis: int):
+        """Pin a float program input's sharding: batch axis over the
+        mesh's data axis, everything else replicated. No-op without a
+        mesh."""
+        sh = self.sharding
+        if sh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * a.ndim
+        names = list(sh.spec)
+        spec[batch_axis] = names[0] if names else None
+        return jax.device_put(a, NamedSharding(sh.mesh, PartitionSpec(*spec)))
+
+    def _replicated(self, arrs):
+        """Pin the integer wire inputs fully replicated on both sides."""
+        sh = self.sharding
+        if sh is None:
+            return arrs
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(sh.mesh, PartitionSpec())
+        return tuple(jax.device_put(a, rep) for a in arrs)
 
     def _enc_inputs(self, lanes: int, n_syms: int, seg_size: int,
                     tier: int):
@@ -945,14 +980,16 @@ class CharmScanWire(_StaticScanIO):
     def encode(self, state: dict, y_slices: List[jax.Array]):
         """state: ``ctx_prepare`` output (full-width means/scales arrays);
         returns (wire blobs per image, y_hat slice list)."""
-        y_stack = jnp.stack(y_slices, axis=0)
+        y_stack = self._shard_batch(jnp.stack(y_slices, axis=0), 1)
+        means = self._shard_batch(state["means"], 0)
+        scales = self._shard_batch(state["scales"], 0)
         _, B, h, w, sc = y_stack.shape
         n_l, L, Ts, seg = self._layout(B, h, w, sc)
 
         def run_pack(inputs):
             y_hats, syms, idxs = self._program(
-                self._stacked, state["means"], state["scales"], y_stack,
-                *inputs, jnp.bool_(True),
+                self._stacked, means, scales, y_stack,
+                *self._replicated(inputs), jnp.bool_(True),
             )
             return y_hats, self.kit.encode_y_stack(syms, idxs, fmt=WIRE_SCAN)
 
@@ -965,16 +1002,18 @@ class CharmScanWire(_StaticScanIO):
         """-> y_hat slice list. The latent grid comes from the
         conditioning: ``ctx_prepare``'s means live at y's resolution."""
         B = len(blobs)
-        h, w = state["means"].shape[1], state["means"].shape[2]
+        means = self._shard_batch(state["means"], 0)
+        scales = self._shard_batch(state["scales"], 0)
+        h, w = means.shape[1], means.shape[2]
         _, L, _, seg = self._layout(B, h, w, self.sc)
-        words32, off, esc_d, esc_r = _wire_inputs(
+        words32, off, esc_d, esc_r = self._replicated(_wire_inputs(
             self.kit, blobs, self.N, seg, L, self.N * seg
-        )
-        y_stack = jnp.zeros(
-            (self.N, B, h, w, self.sc), state["means"].dtype
+        ))
+        y_stack = self._shard_batch(
+            jnp.zeros((self.N, B, h, w, self.sc), means.dtype), 1
         )
         y_hats, _, _ = self._program(
-            self._stacked, state["means"], state["scales"], y_stack,
+            self._stacked, means, scales, y_stack,
             words32, off, esc_d, esc_r, jnp.bool_(False),
         )
         return [y_hats[i] for i in range(self.N)]

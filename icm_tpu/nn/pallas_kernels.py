@@ -140,8 +140,21 @@ def _window_attention_fused_impl(
 
     scale = D ** -0.5
     T = min(tile, W)
-    while W % T:
-        T -= 1
+    if W % T:
+        # Mosaic requires the SMEM block's leading dim to either divide
+        # evenly or equal the array dim (a reduced partial tile like
+        # (5, 1) over (100, 1) is rejected) — pad the window axis up to
+        # a tile multiple and slice the padded windows back off.
+        pad = T - W % T
+        return _window_attention_fused_impl(
+            jnp.pad(q, ((0, pad), (0, 0), (0, 0), (0, 0))),
+            jnp.pad(k, ((0, pad), (0, 0), (0, 0), (0, 0))),
+            jnp.pad(v, ((0, pad), (0, 0), (0, 0), (0, 0))),
+            bias,
+            jnp.pad(cls_idx, ((0, pad),)),
+            tile=tile,
+            interpret=interpret,
+        )[:W]
 
     cls2d = cls_idx.reshape(W, 1)
     grid_spec = pl.GridSpec(
