@@ -106,7 +106,15 @@ def _drift_anchor():
     import jax
     import jax.numpy as jnp
 
-    a = jnp.ones((4, 1024, 1024), jnp.float32)  # 16 MB bulk fetch probe
+    @jax.jit
+    def bulk(seed):
+        # 16 MB of device-COMPUTED data: a host-constant array's fetch
+        # can be served from the runtime's host copy (measured 194 GB/s
+        # over a 36 MB/s link...), so the probe must pull bytes that
+        # only exist on the device, fresh per call
+        return jax.random.uniform(
+            jax.random.PRNGKey(seed), (4, 1024, 1024), jnp.float32
+        )
 
     @jax.jit
     def chain(k):
@@ -116,13 +124,14 @@ def _drift_anchor():
         return x.sum()  # data-dependent scalar anchors the fetch
 
     k = jnp.full((512, 512), 1e-3, jnp.float32)
-    # warm both programs (and the fetch path) before timing
+    # warm all programs (and the fetch path) before timing
     float(jax.device_get(chain(k)))
-    np.asarray(jax.device_get(a))
+    np.asarray(jax.device_get(bulk(jnp.int32(0))))
     t0 = time.time()
     for i in range(3):
         float(jax.device_get(jnp.float32(i)))
     rtt_s = (time.time() - t0) / 3
+    a = bulk(jnp.int32(1))
     t0 = time.time()
     np.asarray(jax.device_get(a))
     bw = a.nbytes / max(time.time() - t0, 1e-9) / 1e6

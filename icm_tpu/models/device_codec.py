@@ -528,10 +528,22 @@ class DeviceWireCodec(CharmCodec):
         # x ctx_slices. CharmScanWire drives the classic prefix-support
         # families (cnn/cnn2/stf); ZigzagSwinScanWire drives the stf5-8
         # zigzag family (per-slice Swin refiners in the context).
+        from .stf_family import ZigzagSwinCodec
+
         self.scan_wire = scan_wire
+        if scan_wire and not (
+            hasattr(self.model, "max_support_slices")
+            or isinstance(self.model, ZigzagSwinCodec)
+        ):
+            # sliding-support charm-protocol models without the CRC
+            # driver structure (stf10's prompt-conditioned coder,
+            # oj_ICM): their conditioning mixes model-level adapters
+            # into the coder context, which the one-scan wires do not
+            # model — serve them over the protocol-generic unrolled
+            # device wire instead of failing.
+            self.scan_wire = scan_wire = False
         if scan_wire:
             from .scan_codec import CharmScanWire, ZigzagSwinScanWire
-            from .stf_family import ZigzagSwinCodec
 
             wire_cls = (
                 ZigzagSwinScanWire

@@ -231,7 +231,11 @@ def bench_family(
         "size": size,
         "batch": batch,
         "narrow": narrow,
-        "wire": ("device+scan" if scan_wire else wire),
+        "wire": (
+            "device+scan"
+            if getattr(codec, "scan_wire", scan_wire) and scan_wire
+            else wire
+        ),
         "bpp": round(bits / (batch * size * size), 4),
         "enc_images_per_sec": round(batch / te, 3),
         "dec_images_per_sec": round(batch / td, 3),
