@@ -48,6 +48,20 @@ class GDN(nn.Module):
         beta = beta_reparam(beta)
         gamma = gamma_reparam(gamma)
 
+        from .layers import _pallas_enabled
+
+        if _pallas_enabled():
+            # Fused Pallas path: one HBM read of x / one write of y vs
+            # XLA's 2.5x-of-minimum traffic (tools/probe_gdn.py); falls
+            # through when the row count has no clean tile.
+            from .gdn_pallas import gdn_fused
+
+            y = gdn_fused(
+                x, gamma.astype(x.dtype), beta, inverse=self.inverse
+            )
+            if y is not None:
+                return y
+
         norm = self._norm(x, gamma.astype(x.dtype), beta.astype(x.dtype))
         if self.inverse:
             norm = jnp.sqrt(norm)
